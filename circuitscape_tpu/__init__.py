@@ -1,0 +1,40 @@
+"""circuitscape_tpu — a TPU-native landscape-connectivity framework.
+
+A from-scratch re-design of the capabilities of Circuitscape.jl
+(reference: github.com/Circuitscape/Circuitscape.jl) for JAX/XLA on TPU:
+raster and network graphs become device-resident ELL/stencil Laplacians,
+pairwise effective resistances solve as batched multi-RHS preconditioned
+CG (one jitted while_loop over the whole pair block), and the direct
+tier is a native sparse Cholesky with batched back-substitution.
+
+Public API mirrors the reference:
+    compute(path_or_dict)  -> run a job from an INI file or config dict
+    start()                -> interactive config wizard (TUI)
+    compute_omniscape_current(...) -> in-memory advanced solve
+    calculate_cum_current_map / calculate_max_current_map
+"""
+
+import jax as _jax
+
+# Double precision is a first-class configuration (precision = double in
+# the reference config system); enable x64 before any array is created.
+_jax.config.update("jax_enable_x64", True)
+
+from .config import CSConfig, init_config, parse_config, write_config  # noqa: E402
+from .run import compute  # noqa: E402
+from .utils import (calculate_cum_current_map,  # noqa: E402
+                    calculate_max_current_map, compute_omniscape_current)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "compute", "CSConfig", "parse_config", "init_config", "write_config",
+    "compute_omniscape_current", "calculate_cum_current_map",
+    "calculate_max_current_map", "start",
+]
+
+
+def start():
+    """Launch the interactive configuration wizard (INIBuilder parity)."""
+    from .tui import start as _start
+    return _start()

@@ -1,0 +1,260 @@
+"""Advanced-mode kernel: arbitrary source/ground configurations.
+
+Parity reference: src/raster/advanced.jl:1-344 (AdvancedProblem,
+compute_advanced_data, get_sources_and_grounds, resolve_conflicts,
+advanced_kernel, multiple_solver, multiple_solve).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from .. import consts, cslog, out
+from ..graph import build
+from ..solve.dispatch import get_solver, SolverFailedError
+from .flags import get_raster_flags
+
+
+@dataclass
+class AdvancedProblem:
+    """src/raster/advanced.jl:1-15."""
+
+    G: sp.spmatrix
+    cc: list
+    nodemap: np.ndarray
+    polymap: np.ndarray
+    hbmeta: object
+    sources: np.ndarray
+    grounds: np.ndarray
+    source_map: np.ndarray
+    finitegrounds: np.ndarray
+    check_node: int
+    src: int
+    cellmap: np.ndarray
+    solver: object
+
+
+def raster_advanced(cfg, dtype=np.float64):
+    """src/raster/advanced.jl:17-33."""
+    from ..io.loaders import load_raster_data
+    rasterdata = load_raster_data(cfg, dtype)
+    flags = get_raster_flags(cfg)
+    advanced_data = compute_advanced_data(rasterdata, flags, cfg, dtype)
+    v, _ = advanced_kernel(advanced_data, flags, cfg)
+    return v
+
+
+def compute_advanced_data(data, flags, cfg, dtype=np.float64):
+    """src/raster/advanced.jl:36-71."""
+    nodemap = build.construct_node_map(data.cellmap, data.polymap)
+    A = build.construct_graph(data.cellmap, nodemap, flags.avg_res,
+                              flags.four_neighbors)
+    G = build.laplacian(A)
+    cc = build.components(G)
+
+    sources, grounds, finitegrounds = get_sources_and_grounds(
+        data, flags, G, nodemap)
+
+    solver = get_solver(cfg)
+    return AdvancedProblem(G, cc, nodemap, data.polymap, data.hbmeta,
+                           sources, grounds, data.source_map, finitegrounds,
+                           -1, 0, data.cellmap, solver)
+
+
+def get_sources_and_grounds(data, flags, G, nodemap):
+    """src/raster/advanced.jl:73-80."""
+    return _get_sources_and_grounds(data.source_map, data.ground_map,
+                                    flags, G, nodemap)
+
+
+def _get_sources_and_grounds(source_map, ground_map, flags, G, nodemap,
+                             override_policy=None):
+    """src/raster/advanced.jl:82-117."""
+    policy = override_policy if override_policy else flags.policy
+    n = G.shape[0]
+    dtype = G.dtype
+    sources = np.zeros(n, dtype)
+    grounds = np.zeros(n, dtype)
+
+    if flags.is_raster:
+        si, sj = np.nonzero(source_map)
+        for r, c in zip(si, sj):
+            v = nodemap[r, c]
+            if v != 0:
+                sources[v - 1] += source_map[r, c]
+        gi, gj = np.nonzero(ground_map)
+        for r, c in zip(gi, gj):
+            v = nodemap[r, c]
+            if v != 0:
+                grounds[v - 1] += ground_map[r, c]
+    else:
+        gm = ground_map.copy()
+        if flags.grnd_file_is_res:
+            # 1/0 -> inf marks a direct ground, as in the reference
+            with np.errstate(divide="ignore"):
+                gm[:, 1] = 1.0 / gm[:, 1]
+        sources[source_map[:, 0].astype(np.int64) - 1] = source_map[:, 1]
+        grounds[gm[:, 0].astype(np.int64) - 1] = gm[:, 1]
+
+    return resolve_conflicts(sources, grounds, policy)
+
+
+def resolve_conflicts(sources, grounds, policy):
+    """src/raster/advanced.jl:119-149."""
+    sources = np.asarray(sources).copy()
+    grounds = np.asarray(grounds).copy()
+
+    finitegrounds = np.where(grounds < np.inf, grounds, 0.0)
+    if np.count_nonzero(finitegrounds) == 0:
+        finitegrounds = np.asarray([-9999.0])
+
+    conflicts = (sources != 0) & (grounds != 0)
+    if conflicts.any():
+        if policy == "rmvsrc":
+            sources[conflicts] = 0
+        elif policy == "rmvgnd":
+            grounds[conflicts] = 0
+        elif policy == "rmvall":
+            sources[conflicts] = 0
+
+    infgrounds = grounds == np.inf
+    infconflicts = infgrounds & (sources > 0)
+    grounds[infconflicts] = 0
+
+    return sources, grounds, finitegrounds
+
+
+def advanced_kernel(prob: AdvancedProblem, flags, cfg):
+    """src/raster/advanced.jl:151-271."""
+    G = prob.G
+    nodemap = prob.nodemap
+    polymap = prob.polymap
+    hbmeta = prob.hbmeta
+    sources = prob.sources
+    grounds = prob.grounds
+    finitegrounds = prob.finitegrounds
+    cellmap = prob.cellmap
+    dtype = G.dtype
+
+    of = flags.outputflags
+    is_raster = flags.is_raster
+
+    volt = np.zeros(nodemap.shape, dtype)
+    solver_called = False
+    voltages = np.zeros(G.shape[0], dtype)
+    outvolt = out.alloc_map(hbmeta, dtype) if is_raster else None
+    outcurr = out.alloc_map(hbmeta, dtype) if is_raster else np.zeros((0, 0), dtype)
+
+    fg_sentinel = finitegrounds.size == 1 and finitegrounds[0] == -9999.0
+
+    for c in prob.cc:
+        c = np.sort(np.asarray(c))
+        if prob.check_node != -1 and prob.check_node not in c:
+            continue
+
+        a_local = G[np.ix_(c - 1, c - 1)].tocsr()
+        s_local = sources[c - 1]
+        g_local = grounds[c - 1]
+
+        if s_local.sum() == 0 or g_local.sum() == 0:
+            continue
+
+        f_local = finitegrounds if fg_sentinel else finitegrounds[c - 1]
+
+        v_comp = multiple_solver(cfg, prob.solver, a_local, s_local.copy(),
+                                 g_local, f_local)
+        voltages[c - 1] += v_comp
+        solver_called = True
+
+        local_nodemap = build.construct_local_node_map(nodemap, c, polymap)
+
+        if of.write_volt_maps and is_raster:
+            out.accum_voltages(outvolt, v_comp, local_nodemap, hbmeta)
+        if of.write_cur_maps and is_raster:
+            out.accum_currents(outcurr, v_comp, cfg, a_local, v_comp,
+                               f_local, local_nodemap, hbmeta)
+
+        if is_raster:
+            mask = local_nodemap != 0
+            volt[mask] = v_comp[local_nodemap[mask] - 1]
+
+    name = "" if prob.src == 0 else f"_{int(prob.src)}"
+    cd = _FullGraphData(G, cellmap, hbmeta)
+    if of.write_volt_maps:
+        if not is_raster:
+            out.write_volt_maps(name, voltages, cd, flags, cfg)
+        else:
+            out.write_grid(outvolt, name, cfg, hbmeta, cellmap=cellmap,
+                           voltage=True)
+
+    if of.write_cur_maps or of.write_cum_cur_map_only:
+        if not is_raster:
+            out.write_cur_maps(name, voltages, cd, finitegrounds, flags,
+                               cfg, None)
+        else:
+            out.write_grid(outcurr, name, cfg, hbmeta, cellmap=cellmap)
+
+    if not is_raster:
+        ids = np.arange(1, G.shape[0] + 1, dtype=dtype)
+        return np.column_stack([ids, voltages]), outcurr
+
+    if not solver_called:
+        return -np.ones((1, 1), dtype), outcurr
+
+    if flags.is_onetoall:
+        idx = prob.source_map != 0
+        vals = volt[idx] / prob.source_map[idx]
+        # Julia's `val[1] ≈ 0` with default atol is exact equality
+        if vals[0] == 0:
+            return -np.ones((1, 1), dtype), outcurr
+        return vals.reshape(-1, 1).astype(dtype), outcurr
+    if flags.is_alltoone:
+        return np.zeros((1, 1), dtype), outcurr
+
+    return volt, outcurr
+
+
+class _FullGraphData:
+    """src/raster/advanced.jl:335-343 (FullGraph)."""
+
+    def __init__(self, G, cellmap, hbmeta=None):
+        self.matrix = G
+        self.cc = np.arange(1, G.shape[0] + 1, dtype=np.int64)
+        self.local_nodemap = np.zeros((0, 0), np.int64)
+        self.hbmeta = hbmeta
+        self.cellmap = cellmap
+
+
+def multiple_solver(cfg, solver, a, sources, grounds, finitegrounds):
+    """One simultaneous solve with finite/infinite grounds
+    (src/raster/advanced.jl:274-305)."""
+    asolve = a
+    if finitegrounds[0] != -9999:
+        asolve = a + sp.diags(finitegrounds)
+
+    infgrounds = np.nonzero(grounds == np.inf)[0]
+    keep = np.setdiff1d(np.arange(a.shape[0]), infgrounds)
+    sources_kept = np.delete(sources, infgrounds)
+    asolve = asolve.tocsr()[np.ix_(keep, keep)]
+
+    volt = multiple_solve(solver, asolve.tocsr(), sources_kept)
+
+    voltages = np.zeros(a.shape[0], a.dtype)
+    voltages[keep] = volt
+    return voltages
+
+
+def multiple_solve(solver, matrix, sources):
+    """src/raster/advanced.jl:307-333."""
+    ctx = solver.build(matrix, matrix.dtype)
+    volt = ctx.solve(sources.reshape(-1, 1))[:, 0]
+    snorm = np.linalg.norm(sources)
+    if snorm > 0:
+        res = np.linalg.norm(matrix @ volt - sources) / snorm
+        if res >= consts.RESIDUAL_GATE:
+            raise SolverFailedError(
+                f"Advanced solve residual {res} exceeds tolerance")
+    return volt

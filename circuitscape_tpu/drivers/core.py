@@ -1,0 +1,314 @@
+"""Core pairwise kernel: all-pairs effective resistance over components.
+
+Parity reference: src/core.jl:64-739 (single_ground_all_pairs, both solver
+paths, shortcut optimization, get_num_pairs, smash_repeats!, voltmatrix
+bookkeeping).
+
+TPU re-design: the reference schedules one linear solve per focal pair
+(threads for CG, batches of 1000 for CHOLMOD).  Here BOTH tiers batch:
+all pair right-hand sides of a connected component form one (n, n_pairs)
+block, solved by multi-RHS CG (one jitted while_loop) or one factorized
+back-substitution.  Postprocessing (per-pair maps, cumulative current
+reduction) runs over the batch axis without locks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from .. import consts, cslog, out
+from ..graph.build import construct_local_node_map
+from ..timer import CSTIMER
+
+
+@dataclass
+class ComponentData:
+    """src/core.jl:24-30."""
+
+    cc: np.ndarray
+    matrix: sp.spmatrix
+    local_nodemap: np.ndarray
+    hbmeta: object
+    cellmap: np.ndarray
+
+
+@dataclass
+class GraphProblem:
+    """src/core.jl:10-22."""
+
+    G: sp.spmatrix
+    cc: list
+    points: np.ndarray        # graph node id (1-based) per user point
+    user_points: np.ndarray   # user point ids
+    exclude_pairs: list       # list of (user_id, user_id) tuples
+    nodemap: np.ndarray
+    polymap: np.ndarray
+    hbmeta: object
+    cellmap: np.ndarray
+    cum: out.Cumulative
+    solver: object
+
+
+def get_num_pairs(ccs, fp, exclude_pairs, user_points=None):
+    """Count pair solves (src/core.jl:537-561)."""
+    if user_points is None:
+        user_points = fp
+    num = 0
+    g2u = {int(fp[i]): int(user_points[i]) for i in range(len(fp))}
+    for cc in ccs:
+        cset = set(int(x) for x in cc)
+        sub_fp = list(dict.fromkeys(int(x) for x in fp if int(x) in cset))
+        l = len(sub_fp)
+        for ii in range(l):
+            for jj in range(ii + 1, l):
+                if (g2u.get(sub_fp[ii], sub_fp[ii]),
+                        g2u.get(sub_fp[jj], sub_fp[jj])) in exclude_pairs:
+                    continue
+                num += 1
+    return num
+
+
+def get_num_pairs_shortcut(ccs, fp, exclude_pairs, user_points=None):
+    """src/core.jl:563-587 — anchor-only pair count."""
+    if user_points is None:
+        user_points = fp
+    num = 0
+    g2u = {int(fp[i]): int(user_points[i]) for i in range(len(fp))}
+    for cc in ccs:
+        cset = set(int(x) for x in cc)
+        sub_fp = list(dict.fromkeys(int(x) for x in fp if int(x) in cset))
+        if not sub_fp:
+            continue
+        pt1 = sub_fp[0]
+        for jj in range(1, len(sub_fp)):
+            if (g2u.get(pt1, pt1),
+                    g2u.get(sub_fp[jj], sub_fp[jj])) in exclude_pairs:
+                continue
+            num += 1
+    return num
+
+
+def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
+    """Solve all focal-point pairs (src/core.jl:70-305, :312-515 unified)."""
+    a = prob.G
+    dtype = a.dtype
+    points = prob.points
+    exclude = set(prob.exclude_pairs)
+    orig_pts = prob.user_points
+    numpoints = len(points)
+    of = flags.outputflags
+    cum = prob.cum
+
+    cslog.info("Graph has %s nodes, %s focal points and %s connected components",
+               a.shape[0], numpoints, len(prob.cc))
+
+    num_pairs = get_num_pairs(prob.cc, points, exclude, orig_pts)
+    if log:
+        cslog.info("Total number of pair solves = %s", num_pairs)
+
+    resistances = -np.ones((numpoints, numpoints), dtype)
+    voltmatrix = np.zeros((numpoints, numpoints), dtype)
+    shortcut_res = -np.ones((numpoints, numpoints), dtype)
+
+    get_shortcut = (flags.is_raster and not of.write_volt_maps and
+                    not of.write_cur_maps and not of.write_cum_cur_map_only and
+                    not of.write_max_cur_maps and not exclude)
+    if get_shortcut:
+        cslog.info("Triggering resistance calculation shortcut")
+        num_pairs = get_num_pairs_shortcut(prob.cc, points, exclude, orig_pts)
+        cslog.info("Total number of pair solves has been reduced to %s", num_pairs)
+
+    for comp in prob.cc:
+        comp = np.sort(np.asarray(comp))
+        cset = set(int(x) for x in comp)
+        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        if not csub:
+            continue
+
+        matrix = a[np.ix_(comp - 1, comp - 1)].tocsr().astype(dtype)
+
+        if not prob.solver.is_direct:
+            # Regularization (src/core.jl:161)
+            eps = np.finfo(np.dtype(dtype)).eps
+            matrix = matrix.copy()
+            matrix.data = matrix.data + eps * np.linalg.norm(matrix.data)
+
+        with CSTIMER("construct preconditioner/factorization"):
+            ctx = prob.solver.build(matrix, dtype)
+        with CSTIMER("construct local nodemap"):
+            local_nodemap = construct_local_node_map(
+                prob.nodemap, comp, prob.polymap)
+        component_data = ComponentData(comp, matrix, local_nodemap,
+                                       prob.hbmeta, prob.cellmap)
+
+        def comp_index(node):
+            k = np.searchsorted(comp, node)
+            if k >= len(comp) or comp[k] != node:
+                raise ValueError(f"Node {node} not found in component")
+            return int(k)
+
+        # Assemble the pair batch (src/core.jl:386-444 generalized)
+        pair_list = []  # (comp_i, comp_j, [(c_i, c_j), ...])
+        point_range = range(1) if get_shortcut else range(len(csub))
+        for point_idx in point_range:
+            src_node = csub[point_idx]
+            comp_i = comp_index(src_node)
+            src_indices = np.nonzero(points == src_node)[0]
+            # zero resistance between focal points collapsed to one node
+            for ii in range(len(src_indices)):
+                for jj in range(ii + 1, len(src_indices)):
+                    resistances[src_indices[ii], src_indices[jj]] = 0
+                    resistances[src_indices[jj], src_indices[ii]] = 0
+            for pair_idx in range(point_idx + 1, len(csub)):
+                dst_node = csub[pair_idx]
+                if src_node == dst_node:
+                    continue
+                comp_j = comp_index(dst_node)
+                dst_indices = np.nonzero(points == dst_node)[0]
+                combos = [(int(ci), int(cj))
+                          for ci in src_indices for cj in dst_indices
+                          if (int(orig_pts[ci]), int(orig_pts[cj])) not in exclude]
+                if not combos:
+                    continue
+                pair_list.append((comp_i, comp_j, combos))
+
+        if pair_list:
+            n_local = matrix.shape[0]
+            batch = (prob.solver.batch_size or len(pair_list))
+            with CSTIMER("solve and accumulate pairs"):
+                for st in range(0, len(pair_list), batch):
+                    chunk = pair_list[st:st + batch]
+                    rhs = np.zeros((n_local, len(chunk)), dtype)
+                    for col, (ci, cj, _) in enumerate(chunk):
+                        rhs[ci, col] = -1
+                        rhs[cj, col] = 1
+                    lhs = ctx.solve(rhs)
+                    # normalize to the source node (src/core.jl:466-472)
+                    lhs = lhs - lhs[[ci for ci, _, _ in chunk],
+                                    range(len(chunk))][None, :]
+                    for col, (ci, cj, combos) in enumerate(chunk):
+                        voltages = lhs[:, col]
+                        resistance = float(voltages[cj] - voltages[ci])
+                        for (c_i, c_j) in combos:
+                            resistances[c_i, c_j] = resistance
+                            resistances[c_j, c_i] = resistance
+                            output = _Output(points, voltages,
+                                             (int(orig_pts[c_i]), int(orig_pts[c_j])),
+                                             (ci, cj), resistance, c_j)
+                            with CSTIMER("postprocess"):
+                                postprocess(output, component_data, flags,
+                                            _Shortcut(get_shortcut, voltmatrix,
+                                                      shortcut_res),
+                                            cfg, cum)
+
+        if get_shortcut and csub:
+            anchor_candidates = np.nonzero(points == csub[0])[0]
+            if anchor_candidates.size == 0:
+                raise ValueError(f"Focal point {csub[0]} not found in points list")
+            anchor = int(anchor_candidates[0])
+            update_shortcut_resistances(anchor,
+                                        _Shortcut(True, voltmatrix, shortcut_res),
+                                        resistances, points, comp)
+
+    if get_shortcut:
+        resistances = shortcut_res
+
+    np.fill_diagonal(resistances, 0)
+
+    # Pad with the user point ids (src/core.jl:299)
+    op = np.asarray(orig_pts, dtype)
+    r = np.vstack([np.concatenate([np.zeros(1, dtype), op])[None, :],
+                   np.column_stack([op, resistances])])
+
+    out.save_resistances(r, cfg)
+    return r
+
+
+@dataclass
+class _Output:
+    """src/core.jl:32-40 (cum carried separately)."""
+
+    points: np.ndarray
+    voltages: np.ndarray
+    orig_pts: tuple
+    comp_idx: tuple  # 0-based local indices
+    resistance: float
+    col: int         # 0-based index into points of the dst point
+
+
+@dataclass
+class _Shortcut:
+    """src/core.jl:42-46."""
+
+    get_shortcut_resistances: bool
+    voltmatrix: np.ndarray
+    shortcut_res: np.ndarray
+
+
+def postprocess(output: _Output, component_data, flags, shortcut, cfg, cum):
+    """src/core.jl:655-683."""
+    if shortcut.get_shortcut_resistances:
+        update_voltmatrix(shortcut, output, component_data)
+        return
+
+    name = f"_{output.orig_pts[0]}_{output.orig_pts[1]}"
+
+    if flags.outputflags.write_volt_maps:
+        out.write_volt_maps(name, output.voltages, component_data, flags, cfg)
+    if (flags.outputflags.write_cur_maps or
+            flags.outputflags.write_cum_cur_map_only or
+            flags.outputflags.write_max_cur_maps or not flags.is_raster):
+        out.write_cur_maps(name, output.voltages, component_data,
+                           np.asarray([-9999.0]), flags, cfg, cum)
+
+
+def update_shortcut_resistances(anchor, sc, resistances, points, comp):
+    """Reconstruct all pairwise resistances from the anchor solves
+    (src/core.jl:706-739, 0-based indices).
+
+    Uses R2x = 2*R12*Vx + R1x - R12 where Vx is the normalized voltage
+    at point x in the anchor->point2 solve."""
+    voltmatrix = sc.voltmatrix
+    shortcut = sc.shortcut_res
+    check = np.isin(points, comp)
+    l = resistances.shape[0]
+    for pointx in range(l):
+        if not check[pointx]:
+            continue
+        R1x = resistances[anchor, pointx]
+        if R1x == -1:
+            continue
+        shortcut[pointx, anchor] = shortcut[anchor, pointx] = R1x
+        for point2 in range(pointx, l):
+            if not check[point2]:
+                continue
+            R12 = resistances[anchor, point2]
+            if R12 == -1:
+                continue
+            if R1x != consts.RESISTANCE_INVALID:
+                shortcut[anchor, point2] = shortcut[point2, anchor] = R12
+                Vx = voltmatrix[pointx, point2]
+                R2x = 2 * R12 * Vx + R1x - R12
+                if shortcut[point2, pointx] != consts.RESISTANCE_INVALID:
+                    shortcut[point2, pointx] = shortcut[pointx, point2] = R2x
+            else:
+                shortcut[pointx, :] = consts.RESISTANCE_INVALID
+                shortcut[:, pointx] = consts.RESISTANCE_INVALID
+
+
+def update_voltmatrix(shortcut, output, component_data):
+    """src/core.jl:685-703 (0-based indices)."""
+    voltmatrix = shortcut.voltmatrix
+    c = output.points
+    cc = component_data.cc
+    voltages = output.voltages
+    r = output.resistance
+    j = output.col
+    for i in range(1, len(c)):
+        k = np.searchsorted(cc, c[i])
+        if k < len(cc) and cc[k] == c[i]:
+            v = voltages[k]
+            voltmatrix[i, j] = 1 - v / r

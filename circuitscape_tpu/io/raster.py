@@ -1,0 +1,337 @@
+"""Raster IO: AAGrid (.asc), GeoTIFF (.tif), NPY, with transparent gzip.
+
+Parity reference: src/io.jl:113-157 (file sniffing), :517-555 (read_raster:
+nodata -> -9999 normalization, NaN -> -9999), src/out.jl:485-531
+(write_raster).  The reference shells out to GDAL (a C++ library); here the
+formats are parsed natively — TIFF via a self-contained binary reader that
+covers the GeoTIFF profile GDAL emits (single band, strip-organized).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import consts
+
+
+@dataclass
+class RasterMeta:
+    """Raster georeferencing metadata (src/io.jl:22-35)."""
+
+    ncols: int = 0
+    nrows: int = 0
+    xllcorner: float = 0.0
+    yllcorner: float = 0.0
+    cellsize: float = 0.0
+    nodata: float = 0.0
+    transform: tuple = (0.0,)
+    wkt: str = ""
+
+
+def open_maybe_gzip(path: str, mode: str = "rt"):
+    """Transparent gzip open (src/io.jl:3)."""
+    if path.lower().endswith("gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _read_bytes(path: str) -> bytes:
+    with open_maybe_gzip(path, "rb") as f:
+        return f.read()
+
+
+def guess_file_type(path: str) -> int:
+    """Sniff file type from magic bytes / first line (src/io.jl:135-157)."""
+    data = _read_bytes(path)
+    hdr_line = data.split(b"\n", 1)[0].decode("latin-1")
+    if len(data) >= 4 and data[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return consts.FILE_TYPE_GEOTIFF
+    if hdr_line.startswith(consts.FILE_HDR_NPY):
+        return consts.FILE_TYPE_NPY
+    if hdr_line.lower().startswith(consts.FILE_HDR_AAGRID):
+        return consts.FILE_TYPE_AAGRID
+    if hdr_line.startswith(consts.FILE_HDR_INCL_PAIRS_AAGRID):
+        return consts.FILE_TYPE_INCL_PAIRS_AAGRID
+    if hdr_line.startswith(consts.FILE_HDR_INCL_PAIRS):
+        return consts.FILE_TYPE_INCL_PAIRS
+    return consts.FILE_TYPE_TXTLIST
+
+
+# ---------------------------------------------------------------------------
+# AAGrid (.asc)
+# ---------------------------------------------------------------------------
+
+_ASC_KEYS = ("ncols", "nrows", "xllcorner", "yllcorner", "xllcenter",
+             "yllcenter", "cellsize", "nodata_value", "dx", "dy")
+
+
+def _read_aagrid(data: bytes):
+    text = data.decode("latin-1")
+    hdr = {}
+    lines = text.splitlines()
+    i = 0
+    for i, line in enumerate(lines):
+        parts = line.split()
+        if len(parts) >= 2 and parts[0].lower() in _ASC_KEYS:
+            hdr[parts[0].lower()] = float(parts[1])
+        else:
+            break
+    body = "\n".join(lines[i:])
+    arr = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2)
+    ncols = int(hdr["ncols"])
+    nrows = int(hdr["nrows"])
+    cellsize = hdr.get("cellsize", hdr.get("dx", 1.0))
+    nodata = hdr.get("nodata_value", consts.NODATA)
+    # xllcenter variant: corner = center - cellsize/2 (GDAL behavior)
+    if "xllcorner" in hdr:
+        xll = hdr["xllcorner"]
+    else:
+        xll = hdr.get("xllcenter", 0.0) - cellsize / 2
+    if "yllcorner" in hdr:
+        yll = hdr["yllcorner"]
+    else:
+        yll = hdr.get("yllcenter", 0.0) - cellsize / 2
+    if arr.shape != (nrows, ncols):
+        arr = arr.reshape(nrows, ncols)
+    transform = (xll, cellsize, 0.0, yll + nrows * cellsize, 0.0, -cellsize)
+    return arr, nodata, transform, ""
+
+
+# ---------------------------------------------------------------------------
+# TIFF (GeoTIFF profile: single band, strip organized, compression none)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                   10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+                  11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+def _tiff_tag_values(bo, data, typ, cnt, val_bytes):
+    size = _TIFF_TYPE_SIZE[typ] * cnt
+    if size > 4:
+        off = struct.unpack(bo + "I", val_bytes)[0]
+        raw = data[off:off + size]
+    else:
+        raw = val_bytes[:size]
+    if typ == 2:  # ASCII
+        return raw.split(b"\x00")[0].decode("latin-1")
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "%dI" % (2 * cnt), raw)
+        return [vals[2 * k] / vals[2 * k + 1] for k in range(cnt)]
+    fmt = _TIFF_TYPE_FMT[typ]
+    return list(struct.unpack(bo + "%d%s" % (cnt, fmt), raw))
+
+
+def _read_tiff(data: bytes):
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Not a TIFF file")
+    ifd_off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
+        tags[tag] = _tiff_tag_values(bo, data, typ, cnt, data[e + 8:e + 12])
+
+    width = int(tags[256][0])
+    height = int(tags[257][0])
+    bits = int(tags.get(258, [8])[0])
+    comp = int(tags.get(259, [1])[0])
+    sfmt = int(tags.get(339, [1])[0])
+    samples = int(tags.get(277, [1])[0])
+    if samples != 1:
+        raise ValueError("Only single-band rasters are supported")
+    if comp != 1:
+        raise ValueError(f"Unsupported TIFF compression {comp}")
+
+    kind = {1: "u", 2: "i", 3: "f"}[sfmt]
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    offsets = tags[273]
+    counts = tags[279]
+    raw = b"".join(data[int(o):int(o) + int(c)] for o, c in zip(offsets, counts))
+    arr = np.frombuffer(raw, dtype=dtype, count=width * height)
+    arr = arr.reshape(height, width)
+
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(str(tags[42113]).strip())
+        except ValueError:
+            nodata = None
+
+    transform = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    if 33550 in tags and 33922 in tags:
+        sx, sy = float(tags[33550][0]), float(tags[33550][1])
+        tp = tags[33922]
+        i0, j0, x0, y0 = float(tp[0]), float(tp[1]), float(tp[3]), float(tp[4])
+        transform = (x0 - i0 * sx, sx, 0.0, y0 + j0 * sy, 0.0, -sy)
+    wkt = tags.get(34737, "")
+    if not isinstance(wkt, str):
+        wkt = ""
+    return arr, nodata, transform, wkt
+
+
+# ---------------------------------------------------------------------------
+# Unified read / write
+# ---------------------------------------------------------------------------
+
+def read_raster(path: str, dtype=np.float64):
+    """Read any supported raster; normalize nodata/NaN to -9999.
+
+    Returns (array, wkt, transform) like the reference (src/io.jl:517-555).
+    """
+    import os
+    check_path = path[:-3] if path.endswith(".gz") else path
+    if not os.path.isfile(path) and not os.path.isfile(check_path):
+        raise FileNotFoundError(f'the file "{check_path}" does not exist')
+    if not os.path.isfile(path):
+        path = check_path
+
+    data = _read_bytes(path)
+    ftype_hdr = data.split(b"\n", 1)[0].decode("latin-1")
+
+    if len(data) >= 4 and data[:2] in (b"II", b"MM"):
+        arr, nodata, transform, wkt = _read_tiff(data)
+        # UInt rasters can still carry negative nodata (src/io.jl:530-541)
+        if np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.int64)
+    elif ftype_hdr.startswith(consts.FILE_HDR_NPY):
+        arr = np.load(_io.BytesIO(data))
+        nodata, transform, wkt = consts.NODATA, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), ""
+    else:
+        arr, nodata, transform, wkt = _read_aagrid(data)
+
+    arr = np.asarray(arr, dtype=dtype).copy()
+    if nodata is not None:
+        arr[arr == float(nodata)] = consts.NODATA
+    arr[np.isnan(arr)] = consts.NODATA
+    return arr, wkt, transform
+
+
+def get_raster_meta(arr, wkt, transform) -> RasterMeta:
+    """Derive RasterMeta from array + geotransform (src/io.jl:124-133)."""
+    nrows, ncols = arr.shape
+    xll = transform[0]
+    yll = transform[3] - nrows * transform[1]
+    cellsize = transform[1]
+    return RasterMeta(ncols=ncols, nrows=nrows, xllcorner=xll, yllcorner=yll,
+                      cellsize=cellsize, nodata=consts.NODATA,
+                      transform=tuple(transform), wkt=wkt)
+
+
+def grid_reader(path: str, dtype=np.float64):
+    arr, wkt, transform = read_raster(path, dtype)
+    return arr, get_raster_meta(arr, wkt, transform)
+
+
+def _format_float(v: float) -> str:
+    return repr(float(v))
+
+
+def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
+    """Write an ESRI ASCII grid in the GDAL AAIGrid layout."""
+    nrows, ncols = arr.shape
+    xll = meta_transform[0]
+    yll = meta_transform[3] - nrows * meta_transform[1]
+    cellsize = meta_transform[1]
+
+    def fmt_hdr(v):
+        fv = float(v)
+        return str(int(fv)) if fv == int(fv) else repr(fv)
+
+    with open(path, "w") as f:
+        f.write(f"ncols        {ncols}\n")
+        f.write(f"nrows        {nrows}\n")
+        f.write(f"xllcorner    {fmt_hdr(xll)}\n")
+        f.write(f"yllcorner    {fmt_hdr(yll)}\n")
+        f.write(f"cellsize     {fmt_hdr(cellsize)}\n")
+        f.write(f"NODATA_value  {fmt_hdr(nodata)}\n")
+        for row in arr:
+            f.write(" ".join(_format_float(v) for v in row))
+            f.write("\n")
+
+
+def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
+               nodata=-9999.0):
+    """Write a minimal single-band float64 GeoTIFF (uncompressed strips)."""
+    arr = np.ascontiguousarray(arr, dtype="<f8")
+    nrows, ncols = arr.shape
+    pix = arr.tobytes()
+
+    nodata_ascii = (repr(float(nodata)) + "\x00").encode()
+    scale = struct.pack("<3d", transform[1], -transform[5], 0.0)
+    tiepoint = struct.pack("<6d", 0, 0, 0, transform[0], transform[3], 0.0)
+
+    entries = []  # (tag, type, count, value_bytes or data blob marker)
+    blobs = []
+
+    def add(tag, typ, cnt, packed):
+        entries.append((tag, typ, cnt, packed))
+
+    header_size = 8
+    n_entries_guess = 13
+    ifd_size = 2 + 12 * n_entries_guess + 4
+    blob_cursor = header_size + ifd_size
+
+    def add_blob(tag, typ, cnt, blob):
+        nonlocal blob_cursor
+        if len(blob) <= 4:
+            add(tag, typ, cnt, blob.ljust(4, b"\x00"))
+        else:
+            add(tag, typ, cnt, struct.pack("<I", blob_cursor))
+            blobs.append(blob)
+            blob_cursor += len(blob)
+
+    add(256, 3, 1, struct.pack("<HH", ncols, 0))
+    add(257, 3, 1, struct.pack("<HH", nrows, 0))
+    add(258, 3, 1, struct.pack("<HH", 64, 0))
+    add(259, 3, 1, struct.pack("<HH", 1, 0))       # no compression
+    add(262, 3, 1, struct.pack("<HH", 1, 0))       # BlackIsZero
+    # strip offsets resolved after blobs are placed
+    add(273, 4, 1, b"\x00\x00\x00\x00")
+    add(277, 3, 1, struct.pack("<HH", 1, 0))
+    add(278, 3, 1, struct.pack("<HH", nrows, 0))
+    add(279, 4, 1, struct.pack("<I", len(pix)))
+    add(339, 3, 1, struct.pack("<HH", 3, 0))       # IEEE float
+    add_blob(33550, 12, 3, scale)
+    add_blob(33922, 12, 6, tiepoint)
+    add_blob(42113, 2, len(nodata_ascii), nodata_ascii)
+
+    assert len(entries) == n_entries_guess
+    pix_offset = blob_cursor
+    entries = [(t, ty, c, struct.pack("<I", pix_offset)) if t == 273
+               else (t, ty, c, v) for (t, ty, c, v) in entries]
+    entries.sort(key=lambda e: e[0])
+
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", header_size)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)  # next IFD
+    for blob in blobs:
+        out += blob
+    assert len(out) == pix_offset
+    out += pix
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def write_raster(fn_prefix: str, array: np.ndarray, wkt: str, transform,
+                 file_format: str):
+    """Write a single-band raster as .asc or .tif (src/out.jl:485-531)."""
+    if file_format == "tif":
+        write_tiff(fn_prefix + ".tif", array, transform, wkt)
+    else:
+        write_aagrid(fn_prefix + ".asc", array, transform)

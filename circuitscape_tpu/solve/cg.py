@@ -1,0 +1,88 @@
+"""Batched preconditioned conjugate gradients on ELL operators.
+
+This is the TPU re-design of the reference's hot loop: where
+src/core.jl:224-229 issues one Krylov.cg per focal pair, here ALL pair
+right-hand sides solve simultaneously as one (n, B) block iteration —
+every SpMV is a multi-RHS SpMM, every reduction a batched dot.  The
+whole loop is a single jitted lax.while_loop, so XLA fuses the SpMM,
+axpys and reductions into a handful of kernels; on a device mesh the
+batch axis shards trivially (parallel/mesh.py).
+
+Semantics preserved from the reference: rtol 1e-6 against ||b||,
+itmax 100_000 (src/core.jl:639), caller checks the final 1e-4 residual
+gate (src/core.jl:640-642).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .operators import EllMatrix, ell_matvec
+
+
+def _identity_prec(r):
+    return r
+
+
+@partial(jax.jit, static_argnames=("prec_apply", "itmax"))
+def cg_batched(A: EllMatrix, B: jnp.ndarray, prec,
+               prec_apply=None, rtol=1e-6, itmax=100_000):
+    """Solve A X = B for all columns at once.
+
+    A: EllMatrix (n_pad x n_pad), SPD (possibly near-singular graph
+       Laplacian with compatible RHS).
+    B: (n_pad, nrhs) right-hand sides.
+    prec: preconditioner state pytree (passed to prec_apply).
+    prec_apply: callable (prec, R) -> Z, static.  None = identity.
+
+    Returns (X, relres (nrhs,), iters).
+    """
+    apply_M = prec_apply if prec_apply is not None else (lambda p, r: r)
+
+    bnorm = jnp.linalg.norm(B, axis=0)
+    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    tol = rtol * bnorm
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = apply_M(prec, R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+
+    def not_done(carry):
+        X, R, Z, P, rz, k = carry
+        resnorm = jnp.linalg.norm(R, axis=0)
+        return jnp.logical_and(k < itmax, jnp.any(resnorm > tol))
+
+    def body(carry):
+        X, R, Z, P, rz, k = carry
+        AP = ell_matvec(A, P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = apply_M(prec, R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        P = Z + beta[None, :] * P
+        return (X, R, Z, P, rz_new, k + 1)
+
+    X, R, Z, P, rz, iters = jax.lax.while_loop(
+        not_done, body, (X0, R0, Z0, P0, rz0, 0))
+
+    # true residual (guards against drift in the recurrence)
+    relres = jnp.linalg.norm(B - ell_matvec(A, X), axis=0) / safe_bnorm
+    return X, relres, iters
+
+
+def jacobi_prec(A: EllMatrix):
+    """Diagonal (Jacobi) preconditioner state."""
+    inv = jnp.where(A.diag != 0, 1.0 / A.diag, 1.0)
+    return inv
+
+
+def jacobi_apply(prec, R):
+    return prec[:, None] * R

@@ -1,0 +1,177 @@
+"""Solver tiers and per-component solve contexts.
+
+Parity reference: src/core.jl:48-94 (Solver type hierarchy, get_solver),
+:636-653 (solve_linear_system with residual gates), ext/*.jl (the
+extension tiers Pardiso/Accelerate, which here alias onto the two real
+tiers since both were CPU direct-solver variants).
+
+Tiers:
+  cg+amg     -> batched PCG on device (JAX/XLA; smoothed-aggregation AMG
+                preconditioner built per component, V-cycle applied on
+                device; Jacobi until the hierarchy is built)
+  cholmod    -> direct sparse Cholesky with batched multi-RHS solve
+                (native C++ backend when built, scipy fallback otherwise)
+  mklpardiso / accelerate -> accepted and mapped onto the direct tier,
+                so reference .ini files keep working on TPU hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+from .. import cslog, consts
+from .operators import ell_from_csr, pad_rhs
+from .cg import cg_batched, jacobi_prec, jacobi_apply
+
+
+class SolverFailedError(RuntimeError):
+    pass
+
+
+class CGContext:
+    """Per-component CG state: ELL operator + preconditioner on device.
+
+    The AMG hierarchy (solve/amg.py) is attached when available;
+    otherwise the Jacobi preconditioner is used.  Correctness only
+    depends on the final residual, which is gated identically either way
+    (src/core.jl:640-642).
+    """
+
+    def __init__(self, matrix: sp.spmatrix, dtype, use_amg=True,
+                 rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX):
+        self.matrix = matrix.tocsr()
+        self.dtype = dtype
+        self.rtol = rtol
+        self.itmax = itmax
+        self.A = ell_from_csr(self.matrix, dtype)
+        self.prec = None
+        self.prec_apply = None
+        if use_amg:
+            try:
+                from .amg import build_amg, amg_apply
+                self.prec = build_amg(self.matrix, self.A, dtype)
+                self.prec_apply = amg_apply
+            except Exception:
+                self.prec = None
+        if self.prec is None:
+            self.prec = jacobi_prec(self.A)
+            self.prec_apply = jacobi_apply
+
+    def max_batch(self) -> int:
+        # keep the (n_pad, B) workspace under ~1 GiB
+        per_col = self.A.n_pad * np.dtype(self.dtype).itemsize * 6
+        return max(1, min(4096, (1 << 30) // max(per_col, 1)))
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        """Solve for all columns of rhs (n, B); returns (n, B)."""
+        n, B = rhs.shape
+        out = np.empty((n, B), self.dtype)
+        step = self.max_batch()
+        for s in range(0, B, step):
+            block = np.asarray(rhs[:, s:s + step], np.dtype(self.dtype))
+            # bucket the batch axis to powers of two to bound jit variants
+            b_pad = 1 << max(0, (block.shape[1] - 1)).bit_length()
+            rp = pad_rhs(block, self.A.n_pad)
+            if b_pad != block.shape[1]:
+                rp = np.concatenate(
+                    [rp, np.zeros((self.A.n_pad, b_pad - block.shape[1]),
+                                  rp.dtype)], axis=1)
+            X, relres, iters = cg_batched(
+                self.A, jnp.asarray(rp), self.prec,
+                prec_apply=self.prec_apply, rtol=self.rtol, itmax=self.itmax)
+            relres = np.asarray(relres)[:block.shape[1]]
+            bad = relres >= consts.RESIDUAL_GATE
+            # ignore all-zero RHS columns (trivially converged)
+            nz = np.linalg.norm(block, axis=0) > 0
+            if np.any(bad & nz):
+                worst = float(relres[bad & nz].max())
+                raise SolverFailedError(
+                    f"CG solver did not converge: relative residual {worst} "
+                    f"exceeds tolerance {consts.RESIDUAL_GATE}")
+            out[:, s:s + block.shape[1]] = np.asarray(X)[:n, :block.shape[1]]
+        return out
+
+
+class DirectContext:
+    """Direct sparse Cholesky factorization context.
+
+    Factors G + 10*eps*I once (src/core.jl:519-523) and back-substitutes
+    batched multi-RHS blocks (src/core.jl:446-493).  Uses the native C++
+    backend (native/cholesky.cpp) when compiled, else scipy's SuperLU.
+    """
+
+    def __init__(self, matrix: sp.spmatrix, dtype):
+        self.dtype = dtype
+        self.matrix = matrix.tocsr().astype(dtype)
+        eps = np.finfo(np.dtype(dtype)).eps
+        shifted = (self.matrix +
+                   sp.identity(matrix.shape[0], dtype=dtype) * (10 * eps))
+        self._native = None
+        try:
+            from .native_chol import NativeCholesky
+            self._native = NativeCholesky(shifted)
+        except Exception:
+            self._lu = spla.splu(shifted.tocsc().astype(np.float64))
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            lhs = self._native.solve(np.asarray(rhs, self.dtype))
+        else:
+            lhs = self._lu.solve(np.asarray(rhs, np.float64)).astype(self.dtype)
+        if lhs.ndim == 1:
+            lhs = lhs[:, None]
+        # per-column residual gate (src/core.jl:646-653)
+        rnorm = np.linalg.norm(rhs, axis=0)
+        resid = np.linalg.norm(self.matrix @ lhs - rhs, axis=0)
+        rel = resid / np.where(rnorm == 0, 1.0, rnorm)
+        bad = (rel >= consts.RESIDUAL_GATE) & (rnorm > 0)
+        if np.any(bad):
+            col = int(np.argmax(bad))
+            raise SolverFailedError(
+                f"Direct solver residual {rel[col]} exceeds tolerance "
+                f"{consts.RESIDUAL_GATE} for column {col}")
+        return lhs
+
+
+class AMGSolver:
+    name = "cg+amg"
+    is_direct = False
+
+    def __init__(self, cfg=None):
+        self.batch_size = 0  # unlimited; CG blocks internally
+
+    def build(self, matrix, dtype):
+        return CGContext(matrix, dtype)
+
+
+class DirectSolver:
+    name = "cholmod"
+    is_direct = True
+
+    def __init__(self, cfg):
+        self.batch_size = cfg.cholmod_batch_size
+
+    def build(self, matrix, dtype):
+        return DirectContext(matrix, dtype)
+
+
+def get_solver(cfg):
+    """src/core.jl:74-94."""
+    s = cfg.solver
+    if s == "cg+amg":
+        cslog.info("Solver used: AMG accelerated by CG")
+        return AMGSolver(cfg)
+    if s == "cholmod":
+        cslog.info("Solver used: CHOLMOD")
+        return DirectSolver(cfg)
+    if s == "mklpardiso":
+        cslog.info("Solver used: Pardiso")
+        return DirectSolver(cfg)
+    if s == "accelerate":
+        cslog.info("Solver used: Apple Accelerate")
+        return DirectSolver(cfg)
+    raise ValueError(f"Unknown solver: {s}")
