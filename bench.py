@@ -1,0 +1,114 @@
+"""Benchmark: end-to-end pairwise resistance job on a 1M-cell raster.
+
+Mirrors the reference's headline benchmark configuration (BASELINE.md:
+1M-cell pairwise job; Julia CHOLMOD 89.6 s on a 20-core Xeon): a
+1000x1000 conductance raster with ~10% NODATA, 32 focal points,
+solver=cg+amg, single precision, shortcut mode (the reference triggers
+the same N-1-solve shortcut for this flag set, src/core.jl:137-146).
+The job runs through the public compute() surface — file IO, graph
+build, components, batched stencil-CG solve on device, shortcut
+reconstruction, output writing.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}
+where vs_baseline = reference_seconds / our_seconds (>1 = faster than
+the 20-core CHOLMOD baseline).
+
+The stencil-CG kernel is warmed up at the exact shapes first so XLA
+compile time is excluded from the measured wall-clock (the reference
+baseline excludes Julia JIT warmup the same way).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+H = W = int(os.environ.get("CS_BENCH_SIZE", "1000"))
+NPOINTS = int(os.environ.get("CS_BENCH_POINTS", "32"))
+BASELINE_SECONDS = 89.6  # Julia CHOLMOD, 1M-cell pairwise (BASELINE.md)
+
+
+def make_inputs(d):
+    rng = np.random.default_rng(42)
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.10] = -9999.0  # NODATA holes
+    np.save(os.path.join(d, "cellmap.npy"), g)
+
+    pts = np.zeros((H, W))
+    placed = 0
+    while placed < NPOINTS:
+        r, c = rng.integers(0, H), rng.integers(0, W)
+        if g[r, c] > 0 and pts[r, c] == 0:
+            placed += 1
+            pts[r, c] = placed
+    np.save(os.path.join(d, "points.npy"), pts)
+
+    ini = os.path.join(d, "bench.ini")
+    with open(ini, "w") as f:
+        f.write(f"""[Circuitscape mode]
+data_type = raster
+scenario = pairwise
+[Habitat raster or graph]
+habitat_file = {d}/cellmap.npy
+habitat_map_is_resistances = False
+[Options for pairwise and one-to-all and all-to-one modes]
+point_file = {d}/points.npy
+[Output options]
+output_file = {d}/bench.out
+[Calculation options]
+solver = cg+amg
+[Connection scheme for raster habitat data]
+connect_four_neighbors_only = False
+connect_using_avg_resistances = False
+""")
+    return ini, g
+
+
+def warmup(g):
+    """Compile the solve kernel at bench shapes (excluded from timing)."""
+    import jax.numpy as jnp
+    from circuitscape_tpu.solve.stencil import stencil_from_gmap, stencil_solve
+    gm = np.where(g > 0, g, 0.0)
+    S = stencil_from_gmap(gm, False, False, np.float64)
+    b_pad = 1 << max(0, NPOINTS - 2).bit_length()
+    zeros = jnp.zeros((H, W, b_pad), jnp.float64)
+    X, relres, iters = stencil_solve(S, zeros)
+    X.block_until_ready()
+
+
+def main():
+    import circuitscape_tpu as cs
+    from circuitscape_tpu.config import parse_config
+
+    with tempfile.TemporaryDirectory() as d:
+        ini, g = make_inputs(d)
+        warmup(g)
+
+        cfg = parse_config(ini)
+        cfg_dict = cfg.to_dict()
+        cfg_dict["precision"] = "single"
+        cfg_dict["suppress_messages"] = "True"
+
+        t0 = time.perf_counter()
+        r = cs.compute(cfg_dict)
+        elapsed = time.perf_counter() - t0
+
+        finite = r[1:, 1:][r[1:, 1:] > 0]
+        assert finite.size > 0 and np.all(np.isfinite(finite)), \
+            "benchmark solve produced no finite resistances"
+
+        print(json.dumps({
+            "metric": "pairwise_1Mcell_32pt_wall_clock",
+            "value": round(elapsed, 3),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,25 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
         num_pairs = get_num_pairs_shortcut(prob.cc, points, exclude, orig_pts)
         cslog.info("Total number of pair solves has been reduced to %s", num_pairs)
 
+    # TPU fast path: a raster without polygons is exactly a stencil, so
+    # the whole grid solves as dense shifted-plane CG — all components
+    # and all anchor pairs in one batched device solve, no sparse
+    # submatrix extraction.  Maps/excludes fall through to the general
+    # per-component path below.
+    use_stencil = (get_shortcut and flags.is_raster and
+                   prob.polymap.size == 0 and not prob.solver.is_direct and
+                   prob.cellmap.size > 0 and prob.nodemap.size > 0)
+    if use_stencil:
+        _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
+                                shortcut_res, dtype)
+        resistances = shortcut_res
+        np.fill_diagonal(resistances, 0)
+        op = np.asarray(orig_pts, dtype)
+        r = np.vstack([np.concatenate([np.zeros(1, dtype), op])[None, :],
+                       np.column_stack([op, resistances])])
+        out.save_resistances(r, cfg)
+        return r
+
     for comp in prob.cc:
         comp = np.sort(np.asarray(comp))
         cset = set(int(x) for x in comp)
@@ -263,6 +282,105 @@ def postprocess(output: _Output, component_data, flags, shortcut, cfg, cum):
             flags.outputflags.write_max_cur_maps or not flags.is_raster):
         out.write_cur_maps(name, output.voltages, component_data,
                            np.asarray([-9999.0]), flags, cfg, cum)
+
+
+def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
+                            shortcut_res, dtype):
+    """Shortcut-mode pairwise resistances via the grid stencil operator.
+
+    Solves the N-1 anchor pairs of EVERY connected component in one
+    batched stencil CG (solve/stencil.py), then reconstructs the full
+    pairwise matrix with the voltage-ratio shortcut
+    (src/core.jl:137-146,685-739 semantics).
+    """
+    import jax.numpy as jnp
+
+    from .. import consts
+    from ..solve.dispatch import SolverFailedError
+    from ..solve.stencil import stencil_from_gmap, stencil_solve
+
+    points = prob.points
+    nodemap = prob.nodemap
+    H, W = nodemap.shape
+    # Work precision is f32 on device with f64 outer refinement
+    # (solve/stencil.py stencil_solve); build the high-precision planes.
+    S = stencil_from_gmap(prob.cellmap, flags.avg_res, flags.four_neighbors,
+                          np.float64)
+
+    # invert the nodemap once: node id -> grid cell
+    rr, cc_ = np.nonzero(nodemap)
+    node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
+    node_cell[nodemap[rr, cc_]] = np.column_stack([rr, cc_])
+
+    # Assemble anchor pairs per component
+    jobs = []  # (comp_sorted, anchor_point_idx, [(src_node, dst_node, combos)])
+    pair_cols = []  # flat: (src_cell, dst_cell)
+    col_meta = []   # flat: (comp_id, src_node, dst_node)
+    for comp_id, comp in enumerate(prob.cc):
+        comp = np.sort(np.asarray(comp))
+        cset = set(int(x) for x in comp)
+        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        if not csub:
+            continue
+        src_node = csub[0]
+        src_indices = np.nonzero(points == src_node)[0]
+        for ii in range(len(src_indices)):
+            for jj in range(ii + 1, len(src_indices)):
+                resistances[src_indices[ii], src_indices[jj]] = 0
+                resistances[src_indices[jj], src_indices[ii]] = 0
+        anchor = int(src_indices[0])
+        jobs.append((comp, anchor))
+        for dst_node in csub[1:]:
+            pair_cols.append((node_cell[src_node], node_cell[dst_node]))
+            col_meta.append((comp_id, src_node, dst_node, comp, anchor))
+
+    if pair_cols:
+        nb = len(pair_cols)
+        # memory cap: 6 live (H, W, B) blocks under ~2 GiB
+        per_col = H * W * np.dtype(dtype).itemsize * 6
+        step = max(1, min(4096, (2 << 30) // max(per_col, 1)))
+        for s0 in range(0, nb, step):
+            chunk = pair_cols[s0:s0 + step]
+            bsz = len(chunk)
+            b_pad = 1 << max(0, bsz - 1).bit_length()
+            rhs = np.zeros((H, W, b_pad), np.float64)
+            for col, (sc_cell, ds_cell) in enumerate(chunk):
+                rhs[sc_cell[0], sc_cell[1], col] = -1
+                rhs[ds_cell[0], ds_cell[1], col] = 1
+            X, relres, iters = stencil_solve(S, jnp.asarray(rhs),
+                                             rtol=consts.CG_RTOL,
+                                             itmax=consts.CG_ITMAX)
+            relres = np.asarray(relres)[:bsz]
+            if np.any(relres >= consts.RESIDUAL_GATE):
+                raise SolverFailedError(
+                    f"CG solver did not converge: relative residual "
+                    f"{float(relres.max())} exceeds tolerance "
+                    f"{consts.RESIDUAL_GATE}")
+            Xn = np.asarray(X)[..., :bsz]
+            for col, (sc_cell, ds_cell) in enumerate(chunk):
+                comp_id, src_node, dst_node, comp, anchor = col_meta[s0 + col]
+                v = Xn[..., col]
+                v = v - v[sc_cell[0], sc_cell[1]]
+                resistance = float(v[ds_cell[0], ds_cell[1]])
+                dst_indices = np.nonzero(points == dst_node)[0]
+                src_indices = np.nonzero(points == src_node)[0]
+                for c_i in src_indices:
+                    for c_j in dst_indices:
+                        resistances[c_i, c_j] = resistance
+                        resistances[c_j, c_i] = resistance
+                        # voltmatrix row fill (update_voltmatrix semantics)
+                        for pi in range(1, len(points)):
+                            node = int(points[pi])
+                            k = np.searchsorted(comp, node)
+                            if k < len(comp) and comp[k] == node:
+                                cell = node_cell[node]
+                                voltmatrix[pi, c_j] = \
+                                    1 - v[cell[0], cell[1]] / resistance
+
+    for comp, anchor in jobs:
+        update_shortcut_resistances(anchor,
+                                    _Shortcut(True, voltmatrix, shortcut_res),
+                                    resistances, points, comp)
 
 
 def update_shortcut_resistances(anchor, sc, resistances, points, comp):

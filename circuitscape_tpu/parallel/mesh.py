@@ -1,0 +1,86 @@
+"""Multi-chip scale-out: shard the solve over a jax device Mesh.
+
+Replaces what a multi-node reference would have used MPI for
+(SURVEY.md §5.8): the grid's row axis shards across the 'nodes' mesh
+axis (XLA inserts halo exchanges / collective-permutes for the
+shifted-plane stencil reads over ICI) and the pair-batch axis shards
+across the 'batch' axis (embarrassingly parallel, the analogue of the
+reference's cholmod_batch_size knob, src/config.jl:29).  CG dot
+products become psums — annotate shardings, jit, let XLA place the
+collectives (the scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solve.stencil import StencilOperator, stencil_cg
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """Create a ('nodes', 'batch') mesh over the available devices.
+
+    Factorizes n as (rows, cols) with rows the largest power-of-two
+    divisor <= sqrt(n), so both the grid-row axis and the RHS batch
+    axis shard."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    rows = 1
+    for r in range(int(math.isqrt(n)), 0, -1):
+        if n % r == 0:
+            rows = r
+            break
+    cols = n // rows
+    mesh_devs = mesh_utils.create_device_mesh((rows, cols), devs[:n])
+    return Mesh(mesh_devs, ("nodes", "batch"))
+
+
+def shard_stencil(mesh: Mesh, A: StencilOperator) -> StencilOperator:
+    """Place the weight planes row-sharded over the 'nodes' axis."""
+    sh = NamedSharding(mesh, P("nodes", None))
+    return StencilOperator(*(jax.device_put(p, sh) for p in
+                             (A.we, A.ws, A.wse, A.wne, A.diag)))
+
+
+def shard_rhs(mesh: Mesh, B: jnp.ndarray) -> jnp.ndarray:
+    """RHS blocks (H, W, nrhs): rows over 'nodes', pairs over 'batch'."""
+    return jax.device_put(B, NamedSharding(mesh, P("nodes", None, "batch")))
+
+
+def sharded_stencil_cg(mesh: Mesh, A: StencilOperator, B, rtol=1e-6,
+                       itmax=100_000):
+    """Batched stencil CG over the mesh.
+
+    The stencil matvec's row-shifted reads become halo exchanges over
+    ICI; reductions over (H, W) become psums.  GSPMD derives all of it
+    from the input shardings — the loop body is identical to the
+    single-chip path (solve/stencil.py).
+    """
+    A = shard_stencil(mesh, A)
+    B = shard_rhs(mesh, B)
+    out_sh = (NamedSharding(mesh, P("nodes", None, "batch")),
+              NamedSharding(mesh, P("batch")),
+              NamedSharding(mesh, P()))
+    fn = jax.jit(stencil_cg, static_argnames=("itmax",),
+                 out_shardings=out_sh)
+    return fn(A, B, rtol, itmax=itmax)
+
+
+def pad_to_mesh(arr: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Pad leading (row) and trailing (batch) dims to multiples of the
+    mesh axis sizes so shards are equal."""
+    rows = mesh.shape["nodes"]
+    batch = mesh.shape["batch"]
+    H = -(-arr.shape[0] // rows) * rows
+    pads = [(0, H - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    if arr.ndim == 3:
+        Bp = -(-arr.shape[2] // batch) * batch
+        pads[2] = (0, Bp - arr.shape[2])
+    return np.pad(arr, pads)

@@ -44,7 +44,11 @@ def cg_batched(A: EllMatrix, B: jnp.ndarray, prec,
 
     bnorm = jnp.linalg.norm(B, axis=0)
     safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
-    tol = rtol * bnorm
+    # floor the target at ~32 eps * ||b||: below that a finite-precision
+    # CG stalls and would spin to itmax; the 1e-4 residual gate still
+    # guards correctness (src/core.jl:640-642)
+    eps_floor = 32 * jnp.finfo(B.dtype).eps
+    tol = jnp.maximum(rtol, eps_floor) * bnorm
 
     X0 = jnp.zeros_like(B)
     R0 = B
