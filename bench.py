@@ -72,13 +72,13 @@ connect_using_avg_resistances = False
 def warmup(g):
     """Compile the solve kernel at bench shapes (excluded from timing)."""
     import jax.numpy as jnp
-    from circuitscape_tpu.solve.stencil import stencil_from_gmap, stencil_solve
+    from circuitscape_tpu.solve.stencil import (stencil_from_gmap,
+                                                stencil_solve_mixed)
     gm = np.where(g > 0, g, 0.0)
     S = stencil_from_gmap(gm, False, False, np.float64)
     b_pad = 1 << max(0, NPOINTS - 2).bit_length()
-    zeros = jnp.zeros((H, W, b_pad), jnp.float64)
-    X, relres, iters = stencil_solve(S, zeros)
-    X.block_until_ready()
+    zeros = np.zeros((b_pad, H, W), np.float64)
+    X, relres, iters = stencil_solve_mixed(S, zeros)
 
 
 def main():

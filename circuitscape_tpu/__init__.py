@@ -14,11 +14,27 @@ Public API mirrors the reference:
     calculate_cum_current_map / calculate_max_current_map
 """
 
+import os as _os
+
 import jax as _jax
 
 # Double precision is a first-class configuration (precision = double in
 # the reference config system); enable x64 before any array is created.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the solve kernels compile once per
+# (shape bucket); remote/TPU compiles can take minutes, so cache them
+# across processes.
+try:
+    _cache = _os.environ.get(
+        "CS_TPU_JAX_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "circuitscape_tpu_jax"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from .config import CSConfig, init_config, parse_config, write_config  # noqa: E402
 from .run import compute  # noqa: E402

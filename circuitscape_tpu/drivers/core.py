@@ -297,7 +297,7 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.stencil import stencil_from_gmap, stencil_solve
+    from ..solve.stencil import stencil_from_gmap, stencil_solve_mixed
 
     points = prob.points
     nodemap = prob.nodemap
@@ -343,23 +343,23 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
             b_pad = 1 << max(0, bsz - 1).bit_length()
-            rhs = np.zeros((H, W, b_pad), np.float64)
+            rhs = np.zeros((b_pad, H, W), np.float64)
             for col, (sc_cell, ds_cell) in enumerate(chunk):
-                rhs[sc_cell[0], sc_cell[1], col] = -1
-                rhs[ds_cell[0], ds_cell[1], col] = 1
-            X, relres, iters = stencil_solve(S, jnp.asarray(rhs),
-                                             rtol=consts.CG_RTOL,
-                                             itmax=consts.CG_ITMAX)
+                rhs[col, sc_cell[0], sc_cell[1]] = -1
+                rhs[col, ds_cell[0], ds_cell[1]] = 1
+            X, relres, iters = stencil_solve_mixed(S, rhs,
+                                                   rtol=consts.CG_RTOL,
+                                                   itmax=consts.CG_ITMAX)
             relres = np.asarray(relres)[:bsz]
             if np.any(relres >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "
                     f"{float(relres.max())} exceeds tolerance "
                     f"{consts.RESIDUAL_GATE}")
-            Xn = np.asarray(X)[..., :bsz]
+            Xn = X[:bsz]
             for col, (sc_cell, ds_cell) in enumerate(chunk):
                 comp_id, src_node, dst_node, comp, anchor = col_meta[s0 + col]
-                v = Xn[..., col]
+                v = Xn[col]
                 v = v - v[sc_cell[0], sc_cell[1]]
                 resistance = float(v[ds_cell[0], ds_cell[1]])
                 dst_indices = np.nonzero(points == dst_node)[0]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..solve.stencil import StencilOperator, stencil_cg
+from ..solve.stencil import StencilOperator, stencil_cg_device
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -50,8 +50,9 @@ def shard_stencil(mesh: Mesh, A: StencilOperator) -> StencilOperator:
 
 
 def shard_rhs(mesh: Mesh, B: jnp.ndarray) -> jnp.ndarray:
-    """RHS blocks (H, W, nrhs): rows over 'nodes', pairs over 'batch'."""
-    return jax.device_put(B, NamedSharding(mesh, P("nodes", None, "batch")))
+    """RHS blocks (nrhs, H, W): pairs over 'batch', grid rows over
+    'nodes'."""
+    return jax.device_put(B, NamedSharding(mesh, P("batch", "nodes", None)))
 
 
 def sharded_stencil_cg(mesh: Mesh, A: StencilOperator, B, rtol=1e-6,
@@ -65,10 +66,10 @@ def sharded_stencil_cg(mesh: Mesh, A: StencilOperator, B, rtol=1e-6,
     """
     A = shard_stencil(mesh, A)
     B = shard_rhs(mesh, B)
-    out_sh = (NamedSharding(mesh, P("nodes", None, "batch")),
+    out_sh = (NamedSharding(mesh, P("batch", "nodes", None)),
               NamedSharding(mesh, P("batch")),
               NamedSharding(mesh, P()))
-    fn = jax.jit(stencil_cg, static_argnames=("itmax",),
+    fn = jax.jit(stencil_cg_device, static_argnames=("itmax",),
                  out_shardings=out_sh)
     return fn(A, B, rtol, itmax=itmax)
 
@@ -78,9 +79,11 @@ def pad_to_mesh(arr: np.ndarray, mesh: Mesh) -> np.ndarray:
     mesh axis sizes so shards are equal."""
     rows = mesh.shape["nodes"]
     batch = mesh.shape["batch"]
-    H = -(-arr.shape[0] // rows) * rows
-    pads = [(0, H - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-    if arr.ndim == 3:
-        Bp = -(-arr.shape[2] // batch) * batch
-        pads[2] = (0, Bp - arr.shape[2])
+    if arr.ndim == 3:  # (B, H, W) solve block
+        Bp = -(-arr.shape[0] // batch) * batch
+        H = -(-arr.shape[1] // rows) * rows
+        pads = [(0, Bp - arr.shape[0]), (0, H - arr.shape[1]), (0, 0)]
+    else:              # (H, W) weight plane
+        H = -(-arr.shape[0] // rows) * rows
+        pads = [(0, H - arr.shape[0]), (0, 0)]
     return np.pad(arr, pads)

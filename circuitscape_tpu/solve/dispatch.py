@@ -50,12 +50,15 @@ class CGContext:
         self.A = ell_from_csr(self.matrix, dtype)
         self.prec = None
         self.prec_apply = None
-        if use_amg:
+        # SA-AMG pays for its setup only past a few hundred nodes; tiny
+        # component systems converge in a handful of Jacobi-CG iterations
+        if use_amg and self.matrix.shape[0] >= 512:
             try:
                 from .amg import build_amg, amg_apply
                 self.prec = build_amg(self.matrix, self.A, dtype)
                 self.prec_apply = amg_apply
             except Exception:
+                cslog.warn("AMG setup failed; falling back to Jacobi CG")
                 self.prec = None
         if self.prec is None:
             self.prec = jacobi_prec(self.A)

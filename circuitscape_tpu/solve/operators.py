@@ -105,6 +105,13 @@ def ell_matvec(A: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return A.diag[:, None] * x + y
 
 
+def ell_matvec_rect(A: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular gather-ELL apply (no diagonal term): x may have any
+    row count >= max(A.idx); returns (rows_pad, B).  Used for AMG
+    grid-transfer operators (solve/amg.py)."""
+    return jnp.einsum("nk,nkb->nb", A.w, x[A.idx])
+
+
 def pad_rhs(b: np.ndarray, n_pad: int) -> np.ndarray:
     """Zero-pad RHS (n, B) to (n_pad, B)."""
     n, B = b.shape

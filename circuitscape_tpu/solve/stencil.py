@@ -119,74 +119,75 @@ def stencil_from_gmap(gmap: np.ndarray, avg_res: bool, four_neighbors: bool,
     return StencilOperator(to(we), to(ws), to(wse), to(wne), to(diag))
 
 
-def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
-    """y = L @ x for x of shape (H, W, B): diag*x minus neighbor flows.
+def _sh(x, dr, dc):
+    """Shift the (B, H, W) block by (dr, dc) on the trailing grid dims
+    with zero fill — pure slice+pad ops, which XLA fuses far better
+    than scatter updates."""
+    H, W = x.shape[-2], x.shape[-1]
+    pads = [(0, 0), (max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0))]
+    sl = (slice(max(-dr, 0), H - max(dr, 0)),
+          slice(max(-dc, 0), W - max(dc, 0)))
+    return jnp.pad(x[..., sl[0], sl[1]], pads)
 
-    Eight shifted multiply-adds; XLA fuses them into a single pass over
-    HBM, and on the batch axis the VPU lanes are fully utilized.
+
+def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
+    """y = L @ x for x of shape (B, H, W): diag*x minus neighbor flows.
+
+    Batch-first layout: the W axis lands on the TPU lane dimension
+    (full 128-lane utilization independent of batch size) and the
+    weight planes broadcast over the leading batch axis without
+    materialization.  Each directed plane contributes twice (edge seen
+    from both ends); the shifts are slice+pad so the whole matvec
+    compiles to a few fused passes over HBM.
     """
     we, ws, wse, wne, diag = A.we, A.ws, A.wse, A.wne, A.diag
-    y = diag[..., None] * x
-    # East/West
-    y = y.at[:, :-1].add(-we[:, :-1, None] * x[:, 1:])
-    y = y.at[:, 1:].add(-we[:, :-1, None] * x[:, :-1])
-    # South/North
-    y = y.at[:-1, :].add(-ws[:-1, :, None] * x[1:, :])
-    y = y.at[1:, :].add(-ws[:-1, :, None] * x[:-1, :])
-    # SE/NW
-    y = y.at[:-1, :-1].add(-wse[:-1, :-1, None] * x[1:, 1:])
-    y = y.at[1:, 1:].add(-wse[:-1, :-1, None] * x[:-1, :-1])
-    # NE/SW
-    y = y.at[1:, :-1].add(-wne[1:, :-1, None] * x[:-1, 1:])
-    y = y.at[:-1, 1:].add(-wne[1:, :-1, None] * x[1:, :-1])
+    wE = we[None]
+    wS = ws[None]
+    wSE = wse[None]
+    wNE = wne[None]
+    y = diag[None] * x
+    # East edge (i,j)-(i,j+1): y[i,j] -= we[i,j]*x[i,j+1]; and transpose
+    y = y - wE * _sh(x, 0, -1) - _sh(wE * x, 0, 1)
+    # South edge (i,j)-(i+1,j)
+    y = y - wS * _sh(x, -1, 0) - _sh(wS * x, 1, 0)
+    # SE edge (i,j)-(i+1,j+1)
+    y = y - wSE * _sh(x, -1, -1) - _sh(wSE * x, 1, 1)
+    # NE edge (i,j)-(i-1,j+1)
+    y = y - wNE * _sh(x, 1, -1) - _sh(wNE * x, -1, 1)
     return y
 
 
-@partial(jax.jit, static_argnames=("itmax",))
-def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
-               itmax=100_000):
-    """Jacobi-preconditioned CG on the stencil operator.
-
-    B: (H, W, nrhs) right-hand sides (one grid per pair solve).
-    Returns (X, relres (nrhs,), iters).
-    """
-    inv_diag = jnp.where(A.diag > 0, 1.0 / jnp.where(A.diag == 0, 1.0, A.diag),
-                         1.0)
-
-    def apply_M(r):
-        return inv_diag[..., None] * r
-
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(0, 1)))
-    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
-    # floor the target at ~32 eps * ||b||: below that a finite-precision
-    # CG stalls and would spin to itmax; the 1e-4 residual gate still
-    # guards correctness (src/core.jl:640-642)
-    eps_floor = 32 * jnp.finfo(B.dtype).eps
-    tol = jnp.maximum(rtol, eps_floor) * bnorm
-
-    X0 = jnp.zeros_like(B)
-    R0 = B
-    Z0 = apply_M(R0)
-    P0 = Z0
-    rz0 = jnp.sum(R0 * Z0, axis=(0, 1))
+def _cg_state_init(A: StencilOperator, B: jnp.ndarray):
+    inv_diag = jnp.where(A.diag > 0,
+                         1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
+    R = B
+    Z = inv_diag[None] * R
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
+    return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
+            jnp.asarray(0), big, jnp.asarray(0))
 
-    # carry: X, R, Z, P, rz, k, best (stall tracker), since (iters
-    # without meaningful progress)
+
+def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax):
+    """while_loop running until convergence, stall, itmax, or k_stop
+    (the per-device-call step budget for the chunked driver)."""
+    inv_diag = jnp.where(A.diag > 0,
+                         1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
+
     def not_done(carry):
         X, R, Z, P, rz, k, best, since = carry
-        resnorm = jnp.sqrt(jnp.sum(R * R, axis=(0, 1)))
+        resnorm = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))
         return jnp.logical_and(
-            jnp.logical_and(k < itmax, since < 200),
+            jnp.logical_and(jnp.logical_and(k < itmax, k < k_stop),
+                            since < 200),
             jnp.any(resnorm > tol))
 
     def body(carry):
         X, R, Z, P, rz, k, best, since = carry
         AP = stencil_matvec(A, P)
-        pAp = jnp.sum(P * AP, axis=(0, 1))
+        pAp = jnp.sum(P * AP, axis=(-2, -1))
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-        X = X + alpha[None, None, :] * P
-        R = R - alpha[None, None, :] * AP
+        X = X + alpha[:, None, None] * P
+        R = R - alpha[:, None, None] * AP
         # Periodic residual replacement: recompute the true residual so
         # the f32 recurrence cannot drift away from it (van der Vorst);
         # costs 1 extra matvec every 64 iterations.
@@ -194,21 +195,133 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
             (k + 1) % 64 == 0,
             lambda: B - stencil_matvec(A, X),
             lambda: R)
-        Z = apply_M(R)
-        rz_new = jnp.sum(R * Z, axis=(0, 1))
+        Z = inv_diag[None] * R
+        rz_new = jnp.sum(R * Z, axis=(-2, -1))
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        P = Z + beta[None, None, :] * P
-        worst = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=(0, 1))) / safe_bnorm)
+        P = Z + beta[:, None, None] * P
+        worst = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm)
         improved = worst < best * 0.999
         best = jnp.minimum(best, worst)
         since = jnp.where(improved, 0, since + 1)
         return (X, R, Z, P, rz_new, k + 1, best, since)
 
-    X, R, Z, P, rz, iters, _, _ = jax.lax.while_loop(
-        not_done, body, (X0, R0, Z0, P0, rz0, 0, big, 0))
+    return jax.lax.while_loop(not_done, body, state)
+
+
+@partial(jax.jit, static_argnames=("itmax",))
+def stencil_cg_device(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
+                      itmax=100_000):
+    """Single-dispatch Jacobi-CG (whole loop in one device execution).
+    Used by the sharded/mesh path and for small bounded solves."""
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
+    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    eps_floor = 32 * jnp.finfo(B.dtype).eps
+    tol = jnp.maximum(rtol, eps_floor) * bnorm
+    state = _cg_state_init(A, B)
+    X, R, Z, P, rz, iters, _, _ = _cg_loop(A, B, state, tol, safe_bnorm,
+                                           itmax, itmax)
     relres = jnp.sqrt(jnp.sum((B - stencil_matvec(A, X)) ** 2,
-                              axis=(0, 1))) / safe_bnorm
+                              axis=(-2, -1))) / safe_bnorm
     return X, relres, iters
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax):
+    k0 = state[5]
+    return _cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax)
+
+
+@partial(jax.jit)
+def _true_relres(A, B, X, safe_bnorm):
+    return jnp.sqrt(jnp.sum((B - stencil_matvec(A, X)) ** 2,
+                            axis=(-2, -1))) / safe_bnorm
+
+
+def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
+               itmax=100_000, chunk=512):
+    """Chunked Jacobi-CG driver: the loop runs on device in bounded
+    bursts of `chunk` iterations, with a host check between bursts.
+
+    B: (nrhs, H, W) right-hand sides (one grid per pair solve).
+    Returns (X, relres (nrhs,), iters).
+
+    Bounding each device execution keeps every dispatch well under any
+    runtime watchdog (a single 100k-iteration while_loop is minutes of
+    device time at the 1M-cell scale) and gives per-chunk progress
+    observability; the full CG state stays device-resident, so the host
+    round-trip per chunk is two scalars.
+    """
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
+    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    eps_floor = 32 * jnp.finfo(jnp.asarray(B).dtype).eps
+    tol = jnp.maximum(rtol, eps_floor) * bnorm
+
+    state = _cg_state_init(A, B)
+    while True:
+        state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax)
+        k = int(state[5])
+        since = int(state[7])
+        resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
+        if (k >= itmax or since >= 200 or
+                not np.any(resnorm > np.asarray(tol))):
+            break
+    X = state[0]
+    relres = _true_relres(A, B, X, safe_bnorm)
+    return X, relres, state[5]
+
+
+def stencil_matvec_np(A: StencilOperator, x: np.ndarray) -> np.ndarray:
+    """Host (numpy, f64) stencil matvec on (B, H, W) blocks — used for
+    the outer refinement residuals so no f64 arithmetic ever runs on a
+    TPU core."""
+    we = np.asarray(A.we, np.float64)
+    ws = np.asarray(A.ws, np.float64)
+    wse = np.asarray(A.wse, np.float64)
+    wne = np.asarray(A.wne, np.float64)
+    diag = np.asarray(A.diag, np.float64)
+    y = diag[None] * x
+    y[:, :, :-1] -= we[None, :, :-1] * x[:, :, 1:]
+    y[:, :, 1:] -= we[None, :, :-1] * x[:, :, :-1]
+    y[:, :-1, :] -= ws[None, :-1, :] * x[:, 1:, :]
+    y[:, 1:, :] -= ws[None, :-1, :] * x[:, :-1, :]
+    y[:, :-1, :-1] -= wse[None, :-1, :-1] * x[:, 1:, 1:]
+    y[:, 1:, 1:] -= wse[None, :-1, :-1] * x[:, :-1, :-1]
+    y[:, 1:, :-1] -= wne[None, 1:, :-1] * x[:, :-1, 1:]
+    y[:, :-1, 1:] -= wne[None, 1:, :-1] * x[:, 1:, :-1]
+    return y
+
+
+def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
+                        itmax=100_000, max_refine=4):
+    """Mixed-precision solve with HOST-side refinement.
+
+    Inner iterations: f32 stencil CG on device (full HBM bandwidth —
+    v5e has no native f64, and emulated-f64 device loops are both slow
+    and fragile).  Outer loop: numpy f64 true residuals + iterative
+    refinement, so the returned solution satisfies the true rtol.
+
+    Returns (X (np.float64), relres (nrhs,), total_iters).
+    """
+    A_lo = _to_dtype(A_hi, jnp.float32)
+    B = np.asarray(B, np.float64)
+    nb = B.shape[0]
+    bnorm = np.linalg.norm(B.reshape(nb, -1), axis=1)
+    safe_bnorm = np.where(bnorm == 0, 1.0, bnorm)
+
+    X = np.zeros_like(B)
+    R = B
+    total_iters = 0
+    rel = np.full(nb, np.inf)
+    for _ in range(max_refine):
+        dX, _, it = stencil_cg(A_lo, jnp.asarray(R, jnp.float32),
+                               rtol, itmax=itmax)
+        X = X + np.asarray(dX, np.float64)
+        R = B - stencil_matvec_np(A_hi, X)
+        rel = np.linalg.norm(R.reshape(nb, -1), axis=1) / safe_bnorm
+        total_iters += int(it)
+        if np.all(rel <= rtol):
+            break
+    return X, rel, total_iters
 
 
 def _to_dtype(A: StencilOperator, dtype) -> StencilOperator:
@@ -227,12 +340,12 @@ def stencil_solve(A_hi: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     Returns (X (f64), relres (nrhs,), total_iters).
     """
     A_lo = _to_dtype(A_hi, jnp.float32)
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(0, 1)))
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
     safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
 
     def true_relres(X):
         R = B - stencil_matvec(A_hi, X)
-        return R, jnp.sqrt(jnp.sum(R * R, axis=(0, 1))) / safe_bnorm
+        return R, jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
 
     X0 = jnp.zeros_like(B)
     R0 = B
