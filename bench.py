@@ -70,15 +70,23 @@ connect_using_avg_resistances = False
 
 
 def warmup(g):
-    """Compile the solve kernel at bench shapes (excluded from timing)."""
+    """Compile the solve kernels at bench shapes (excluded from timing,
+    like the reference baseline excluding Julia JIT warmup)."""
     import jax.numpy as jnp
-    from circuitscape_tpu.solve.stencil import (stencil_from_gmap,
-                                                stencil_solve_mixed)
+    from circuitscape_tpu.solve.geomg import build_geo_mg, geomg_apply
+    from circuitscape_tpu.solve.stencil import (StencilOperator, _to_dtype,
+                                                stencil_planes_np,
+                                                stencil_solve_pairs)
     gm = np.where(g > 0, g, 0.0)
-    S = stencil_from_gmap(gm, False, False, np.float64)
-    b_pad = 1 << max(0, NPOINTS - 2).bit_length()
-    zeros = np.zeros((b_pad, H, W), np.float64)
-    X, relres, iters = stencil_solve_mixed(S, zeros)
+    planes = stencil_planes_np(gm, False, False)
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    S32 = _to_dtype(S64, jnp.float32)
+    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+    n_pairs = NPOINTS - 1
+    src = np.zeros((n_pairs, 2), np.int64)
+    dst = np.zeros((n_pairs, 2), np.int64)
+    X, relres, iters = stencil_solve_pairs(S64, src, dst, prec=prec,
+                                           prec_apply=geomg_apply)
 
 
 def main():

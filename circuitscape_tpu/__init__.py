@@ -22,19 +22,21 @@ import jax as _jax
 # the reference config system); enable x64 before any array is created.
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the solve kernels compile once per
-# (shape bucket); remote/TPU compiles can take minutes, so cache them
-# across processes.
-try:
-    _cache = _os.environ.get(
-        "CS_TPU_JAX_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache",
-                      "circuitscape_tpu_jax"))
-    _os.makedirs(_cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# Persistent compilation cache for TPU runs only: remote/TPU compiles
+# can take minutes, so cache them across processes.  (On CPU the cache
+# can resurrect AOT code compiled with mismatched machine features, so
+# it stays off there.)
+if "cpu" not in _os.environ.get("JAX_PLATFORMS", "tpu"):
+    try:
+        _cache = _os.environ.get(
+            "CS_TPU_JAX_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "circuitscape_tpu_jax"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from .config import CSConfig, init_config, parse_config, write_config  # noqa: E402
 from .run import compute  # noqa: E402

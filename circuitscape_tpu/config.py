@@ -129,6 +129,10 @@ class CSConfig:
     log_file: str = ""
     log_level: int = logging.INFO
     suppress_messages: bool = False
+    # circuitscape_tpu extension: periodic checkpoint/resume for long
+    # pairwise jobs (empty = disabled)
+    checkpoint_file: str = ""
+
 
     @classmethod
     def from_dict(cls, d: dict) -> "CSConfig":
@@ -184,6 +188,8 @@ class CSConfig:
             log_file="" if log_file == "None" else log_file,
             log_level=_parse_log_level(g("log_level", "INFO")),
             suppress_messages=_parse_bool(d, "suppress_messages"),
+            checkpoint_file=(lambda v: "" if v == "None" else v)(
+                g("checkpoint_file", "None")),
         )
 
     def to_dict(self) -> dict:
@@ -235,6 +241,8 @@ class CSConfig:
             "log_file": self.log_file if self.log_file else "None",
             "log_level": "DEBUG" if self.log_level == logging.DEBUG else "INFO",
             "suppress_messages": b(self.suppress_messages),
+            "checkpoint_file": self.checkpoint_file if self.checkpoint_file
+                               else "None",
         }
 
 

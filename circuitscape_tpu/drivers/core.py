@@ -20,6 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .. import consts, cslog, out
+from ..checkpoint import Checkpoint
 from ..graph.build import construct_local_node_map
 from ..timer import CSTIMER
 
@@ -113,6 +114,9 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
     voltmatrix = np.zeros((numpoints, numpoints), dtype)
     shortcut_res = -np.ones((numpoints, numpoints), dtype)
 
+    ckpt = Checkpoint(getattr(cfg, "checkpoint_file", ""))
+    done_pairs = ckpt.load(resistances, cum)
+
     get_shortcut = (flags.is_raster and not of.write_volt_maps and
                     not of.write_cur_maps and not of.write_cum_cur_map_only and
                     not of.write_max_cur_maps and not exclude)
@@ -192,6 +196,8 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                           if (int(orig_pts[ci]), int(orig_pts[cj])) not in exclude]
                 if not combos:
                     continue
+                if done_pairs and all(c in done_pairs for c in combos):
+                    continue  # resumed from checkpoint
                 pair_list.append((comp_i, comp_j, combos))
 
         if pair_list:
@@ -222,6 +228,8 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                                             _Shortcut(get_shortcut, voltmatrix,
                                                       shortcut_res),
                                             cfg, cum)
+                        ckpt.mark(combos)
+                    ckpt.save(resistances, cum)
 
         if get_shortcut and csub:
             anchor_candidates = np.nonzero(points == csub[0])[0]
@@ -235,6 +243,7 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
     if get_shortcut:
         resistances = shortcut_res
 
+    ckpt.finish()
     np.fill_diagonal(resistances, 0)
 
     # Pad with the user point ids (src/core.jl:299)
@@ -297,20 +306,32 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.stencil import stencil_from_gmap, stencil_solve_mixed
+    from ..solve.geomg import build_geo_mg, geomg_apply
+    from ..solve.stencil import (StencilOperator, _extract_point_voltages,
+                                 _to_dtype, stencil_planes_np,
+                                 stencil_solve_pairs)
 
     points = prob.points
     nodemap = prob.nodemap
     H, W = nodemap.shape
-    # Work precision is f32 on device with f64 outer refinement
-    # (solve/stencil.py stencil_solve); build the high-precision planes.
-    S = stencil_from_gmap(prob.cellmap, flags.avg_res, flags.four_neighbors,
-                          np.float64)
+    # Host builds the f64 planes once; one upload puts them on device.
+    # Work precision is f32 (cast on device); outer refinement residuals
+    # run in plain f64 device ops (solve/stencil.py stencil_solve_pairs).
+    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
+                               flags.four_neighbors)
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    S32 = _to_dtype(S64, jnp.float32)
+    prec = prec_apply = None
+    if H * W > 4096:
+        prec = build_geo_mg(planes_np=planes, fine_op=S32)
+        prec_apply = geomg_apply
 
     # invert the nodemap once: node id -> grid cell
     rr, cc_ = np.nonzero(nodemap)
     node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
     node_cell[nodemap[rr, cc_]] = np.column_stack([rr, cc_])
+    point_cells = node_cell[np.asarray(points)]   # (npts, 2)
+    point_cells_dev = jnp.asarray(point_cells, jnp.int32)
 
     # Assemble anchor pairs per component
     jobs = []  # (comp_sorted, anchor_point_idx, [(src_node, dst_node, combos)])
@@ -336,46 +357,49 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     if pair_cols:
         nb = len(pair_cols)
-        # memory cap: 6 live (H, W, B) blocks under ~2 GiB
-        per_col = H * W * np.dtype(dtype).itemsize * 6
-        step = max(1, min(4096, (2 << 30) // max(per_col, 1)))
+        # memory cap: ~8 live f64 (B, H, W) blocks under ~4 GiB
+        per_col = H * W * 8 * 8
+        step = max(1, min(4096, (4 << 30) // max(per_col, 1)))
         for s0 in range(0, nb, step):
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
-            b_pad = 1 << max(0, bsz - 1).bit_length()
-            rhs = np.zeros((b_pad, H, W), np.float64)
-            for col, (sc_cell, ds_cell) in enumerate(chunk):
-                rhs[col, sc_cell[0], sc_cell[1]] = -1
-                rhs[col, ds_cell[0], ds_cell[1]] = 1
-            X, relres, iters = stencil_solve_mixed(S, rhs,
-                                                   rtol=consts.CG_RTOL,
-                                                   itmax=consts.CG_ITMAX)
-            relres = np.asarray(relres)[:bsz]
+            src_cells = np.asarray([c[0] for c in chunk], np.int64)
+            dst_cells = np.asarray([c[1] for c in chunk], np.int64)
+            X, relres, iters = stencil_solve_pairs(
+                S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+                itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply)
             if np.any(relres >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "
                     f"{float(relres.max())} exceeds tolerance "
                     f"{consts.RESIDUAL_GATE}")
-            Xn = X[:bsz]
-            for col, (sc_cell, ds_cell) in enumerate(chunk):
+            # Fetch ONLY the voltages at focal cells (nb x npts) — the
+            # full grids never leave the device.
+            sc_dev = jnp.asarray(
+                np.concatenate([src_cells,
+                                np.zeros((X.shape[0] - bsz, 2), np.int64)]),
+                jnp.int32)
+            Vp_dev, _ = _extract_point_voltages(X, sc_dev, point_cells_dev)
+            Vp = np.asarray(Vp_dev)[:bsz]          # (bsz, npts)
+
+            for col in range(bsz):
                 comp_id, src_node, dst_node, comp, anchor = col_meta[s0 + col]
-                v = Xn[col]
-                v = v - v[sc_cell[0], sc_cell[1]]
-                resistance = float(v[ds_cell[0], ds_cell[1]])
                 dst_indices = np.nonzero(points == dst_node)[0]
                 src_indices = np.nonzero(points == src_node)[0]
+                # any point index mapping to dst_node reads the same value
+                resistance = float(Vp[col, dst_indices[0]])
+                in_comp = np.isin(points, comp)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    volt_col = 1.0 - Vp[col] / resistance
                 for c_i in src_indices:
                     for c_j in dst_indices:
                         resistances[c_i, c_j] = resistance
                         resistances[c_j, c_i] = resistance
-                        # voltmatrix row fill (update_voltmatrix semantics)
-                        for pi in range(1, len(points)):
-                            node = int(points[pi])
-                            k = np.searchsorted(comp, node)
-                            if k < len(comp) and comp[k] == node:
-                                cell = node_cell[node]
-                                voltmatrix[pi, c_j] = \
-                                    1 - v[cell[0], cell[1]] / resistance
+                        # voltmatrix column fill (update_voltmatrix
+                        # semantics, vectorized over points)
+                        sel = in_comp.copy()
+                        sel[0] = False  # row 0 never filled (reference)
+                        voltmatrix[sel, c_j] = volt_col[sel]
 
     for comp, anchor in jobs:
         update_shortcut_resistances(anchor,

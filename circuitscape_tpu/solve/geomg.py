@@ -1,0 +1,231 @@
+"""Geometric multigrid preconditioner for the stencil operator.
+
+The stencil path's analogue of the reference's smoothed-aggregation AMG
+(src/core.jl:164-167): every level stays a 9-point stencil, so the
+whole V-cycle is shifted-plane arithmetic + 2x2 patch reductions —
+ideal TPU code with no gathers at any level.
+
+Coarsening is Galerkin with a piecewise-constant 2x2-patch prolongator.
+For a graph Laplacian that collapses exactly to the Laplacian of the
+patch-collapsed graph: each fine directed edge either stays inside a
+patch (vanishes) or adds its weight to one coarse directed edge chosen
+by the parity of its endpoint coordinates.  Setup is a handful of
+numpy reshape-sums on the host; the hierarchy lives on device in f32.
+
+Smoother: weighted Jacobi (2/3), symmetric V(1,1) so the operator is a
+valid SPD preconditioner for CG.  Coarsest level: dense pseudo-inverse
+(pinv coarse-solve parity with the reference), applied on the MXU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .stencil import StencilOperator, stencil_matvec
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GeoMgLevel:
+    A: StencilOperator
+    inv_diag: jnp.ndarray  # (H, W) weighted-Jacobi diagonal
+
+    def tree_flatten(self):
+        return (self.A, self.inv_diag), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GeoMgHierarchy:
+    levels: tuple
+    coarse_pinv: jnp.ndarray  # (hc*wc, hc*wc)
+    coarse_shape: tuple
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_pinv), (self.coarse_shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+def _pad_even(p: np.ndarray) -> np.ndarray:
+    H, W = p.shape
+    return np.pad(p, ((0, H % 2), (0, W % 2)))
+
+
+def _coarsen_planes(we, ws, wse, wne):
+    """One 2x2 Galerkin coarsening step on the four directed planes.
+
+    Each fine edge is routed to a coarse plane by endpoint parity
+    (internal edges drop out of the collapsed Laplacian)."""
+    we, ws, wse, wne = map(_pad_even, (we, ws, wse, wne))
+    H, W = we.shape
+    hc, wc = H // 2, W // 2
+    cE = np.zeros((hc, wc))
+    cS = np.zeros((hc, wc))
+    cSE = np.zeros((hc, wc))
+    cNE = np.zeros((hc, wc))
+
+    def patch(i_par, j_par, p):
+        """Sub-plane of p at cells with row parity i_par, col parity
+        j_par, reshaped to the coarse grid."""
+        return p[i_par::2, j_par::2][:hc, :wc]
+
+    # E edges (i,j)-(i,j+1): cross iff j odd -> coarse E at (i//2, j//2)
+    cE += patch(0, 1, we) + patch(1, 1, we)
+    # S edges (i,j)-(i+1,j): cross iff i odd -> coarse S
+    cS += patch(1, 0, ws) + patch(1, 1, ws)
+    # SE edges (i,j)-(i+1,j+1):
+    #   i odd, j odd  -> coarse SE;  i odd, j even -> coarse S
+    #   i even, j odd -> coarse E;   i even, j even -> internal
+    cSE += patch(1, 1, wse)
+    cS += patch(1, 0, wse)
+    cE += patch(0, 1, wse)
+    # NE edges (i,j)-(i-1,j+1):
+    #   i even, j odd -> coarse NE; i even, j even -> coarse N
+    #   (= S plane of the upper coarse patch); i odd, j odd -> coarse E;
+    #   i odd, j even -> internal
+    ne_en = patch(0, 1, wne)   # i even, j odd
+    cNE += ne_en
+    n_up = patch(0, 0, wne)    # i even, j even: coarse edge (I,J)-(I-1,J)
+    cS[:-1, :] += n_up[1:, :]  # stored at the upper patch's S plane
+    cE += patch(1, 1, wne)
+
+    # zero the out-of-range boundaries
+    cE[:, -1] = 0
+    cS[-1, :] = 0
+    cSE[-1, :] = 0
+    cSE[:, -1] = 0
+    cNE[0, :] = 0
+    cNE[:, -1] = 0
+    return cE, cS, cSE, cNE
+
+
+def _planes_to_operator(we, ws, wse, wne, dtype) -> StencilOperator:
+    H, W = we.shape
+    diag = np.zeros((H, W))
+    diag[:, :-1] += we[:, :-1]
+    diag[:, 1:] += we[:, :-1]
+    diag[:-1, :] += ws[:-1, :]
+    diag[1:, :] += ws[:-1, :]
+    diag[:-1, :-1] += wse[:-1, :-1]
+    diag[1:, 1:] += wse[:-1, :-1]
+    diag[1:, :-1] += wne[1:, :-1]
+    diag[:-1, 1:] += wne[1:, :-1]
+    to = lambda a: jnp.asarray(a, dtype)
+    return StencilOperator(to(we), to(ws), to(wse), to(wne), to(diag))
+
+
+def _dense_laplacian(we, ws, wse, wne) -> np.ndarray:
+    H, W = we.shape
+    n = H * W
+    A = np.zeros((n, n))
+
+    def add(i, j, di, dj, w):
+        a = i * W + j
+        b = (i + di) * W + (j + dj)
+        A[a, b] -= w
+        A[b, a] -= w
+        A[a, a] += w
+        A[b, b] += w
+
+    for i in range(H):
+        for j in range(W):
+            if j + 1 < W and we[i, j]:
+                add(i, j, 0, 1, we[i, j])
+            if i + 1 < H and ws[i, j]:
+                add(i, j, 1, 0, ws[i, j])
+            if i + 1 < H and j + 1 < W and wse[i, j]:
+                add(i, j, 1, 1, wse[i, j])
+            if i - 1 >= 0 and j + 1 < W and wne[i, j]:
+                add(i, j, -1, 1, wne[i, j])
+    return A
+
+
+def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
+                 coarse_cells=1024, max_levels=12, planes_np=None,
+                 fine_op: StencilOperator = None) -> GeoMgHierarchy:
+    """Build the hierarchy (host numpy setup, device-resident result).
+
+    planes_np: optional host copies of the fine planes (avoids a
+    device->host download when the caller built them on host anyway).
+    fine_op: optional already-uploaded f32 fine operator to reuse as
+    level 0 (avoids re-uploading the largest level)."""
+    if planes_np is not None:
+        we, ws, wse, wne = (np.asarray(p, np.float64) for p in planes_np[:4])
+    else:
+        we = np.asarray(S.we, np.float64)
+        ws = np.asarray(S.ws, np.float64)
+        wse = np.asarray(S.wse, np.float64)
+        wne = np.asarray(S.wne, np.float64)
+
+    levels = []
+    while (we.shape[0] * we.shape[1] > coarse_cells and
+           len(levels) < max_levels and min(we.shape) >= 2):
+        if not levels and fine_op is not None:
+            op = fine_op
+        else:
+            op = _planes_to_operator(we, ws, wse, wne, dtype)
+        # Jacobi weights computed on device from the operator diagonal
+        inv = jnp.where(op.diag > 0,
+                        (2.0 / 3.0) / jnp.where(op.diag == 0, 1.0, op.diag),
+                        0.0).astype(dtype)
+        levels.append(GeoMgLevel(op, inv))
+        we, ws, wse, wne = _coarsen_planes(we, ws, wse, wne)
+
+    dense = _dense_laplacian(we, ws, wse, wne)
+    # benign identity on empty (all-inactive) coarse cells
+    empty = dense.diagonal() == 0
+    dense[empty, empty] = 1.0
+    pinv = np.linalg.pinv(dense)
+    return GeoMgHierarchy(tuple(levels), jnp.asarray(pinv, dtype),
+                          we.shape)
+
+
+def _restrict(r):
+    """2x2 patch sum (P^T); pads odd dims with zero."""
+    B, H, W = r.shape
+    if H % 2 or W % 2:
+        r = jnp.pad(r, ((0, 0), (0, H % 2), (0, W % 2)))
+        H, W = r.shape[1], r.shape[2]
+    return r.reshape(B, H // 2, 2, W // 2, 2).sum(axis=(2, 4))
+
+
+def _prolong(xc, H, W):
+    """Piecewise-constant interpolation (P); crops padded dims."""
+    up = jnp.repeat(jnp.repeat(xc, 2, axis=1), 2, axis=2)
+    return up[:, :H, :W]
+
+
+def _vcycle(hier: GeoMgHierarchy, lvl: int, b):
+    if lvl == len(hier.levels):
+        B = b.shape[0]
+        hc, wc = hier.coarse_shape
+        flat = b.reshape(B, hc * wc)
+        x = flat @ hier.coarse_pinv.T
+        return x.reshape(B, hc, wc)
+    L = hier.levels[lvl]
+    # pre-smooth (one weighted-Jacobi sweep from zero)
+    x = L.inv_diag[None] * b
+    r = b - stencil_matvec(L.A, x)
+    xc = _vcycle(hier, lvl + 1, _restrict(r))
+    x = x + _prolong(xc, b.shape[1], b.shape[2])
+    # post-smooth
+    r = b - stencil_matvec(L.A, x)
+    x = x + L.inv_diag[None] * r
+    return x
+
+
+def geomg_apply(hier: GeoMgHierarchy, R):
+    """Preconditioner application M^-1 R for the stencil CG."""
+    return _vcycle(hier, 0, R)

@@ -69,15 +69,9 @@ def _pad_plane(a: np.ndarray, H: int, W: int) -> np.ndarray:
     return out
 
 
-def stencil_from_gmap(gmap: np.ndarray, avg_res: bool, four_neighbors: bool,
-                      dtype=np.float32) -> StencilOperator:
-    """Build the weight planes from a conductance map, with the same four
-    edge-weight rules as graph/build.py (res_avg/cond_avg/weird_avg/
-    weirder_avg; src/raster/pairwise.jl:364-367).
-
-    Only valid when no polygons collapse nodes (the stencil is then
-    exactly the graph).  Cells with gmap <= 0 take no edges.
-    """
+def stencil_planes_np(gmap: np.ndarray, avg_res: bool, four_neighbors: bool):
+    """Host-side plane construction; returns 5 numpy float64 arrays
+    (we, ws, wse, wne, diag).  See stencil_from_gmap."""
     from ..graph.build import cond_avg, res_avg, weird_avg, weirder_avg
 
     g = np.asarray(gmap, np.float64)
@@ -115,8 +109,66 @@ def stencil_from_gmap(gmap: np.ndarray, avg_res: bool, four_neighbors: bool,
     diag[1:, :-1] += wne[1:, :-1]
     diag[:-1, 1:] += wne[1:, :-1]
 
+    return we, ws, wse, wne, diag
+
+
+def stencil_from_gmap(gmap: np.ndarray, avg_res: bool, four_neighbors: bool,
+                      dtype=np.float32) -> StencilOperator:
+    """Build the weight planes from a conductance map, with the same four
+    edge-weight rules as graph/build.py (res_avg/cond_avg/weird_avg/
+    weirder_avg; src/raster/pairwise.jl:364-367).
+
+    Only valid when no polygons collapse nodes (the stencil is then
+    exactly the graph).  Cells with gmap <= 0 take no edges.
+    """
+    planes = stencil_planes_np(gmap, avg_res, four_neighbors)
     to = lambda a: jnp.asarray(a, dtype)
-    return StencilOperator(to(we), to(ws), to(wse), to(wne), to(diag))
+    return StencilOperator(*(to(p) for p in planes))
+
+
+def stencil_from_gmap_device(gmap, avg_res: bool, four_neighbors: bool,
+                             dtype=jnp.float64) -> StencilOperator:
+    """Device-side plane construction from an uploaded conductance map.
+
+    Only the (H, W) gmap crosses the host->device link (4-8 MB at the
+    1M-cell scale); everything else is computed on device.  Same weight
+    rules as stencil_from_gmap.
+    """
+    g = jnp.asarray(gmap, dtype)
+    act = g > 0
+
+    if avg_res:
+        f1 = lambda a, b: 2.0 / (1.0 / a + 1.0 / b)
+        f2 = lambda a, b: 2.0 / (jnp.sqrt(2.0) * (1.0 / a + 1.0 / b))
+    else:
+        f1 = lambda a, b: (a + b) / 2.0
+        f2 = lambda a, b: (a + b) / (2.0 * jnp.sqrt(2.0))
+
+    def plane(dr, dc, fn):
+        """Weight plane at the source cell for offset (dr, dc)."""
+        gs = _sh(g[None], -dr, -dc)[0]        # neighbor value at source
+        ms = _sh(act[None].astype(dtype), -dr, -dc)[0] > 0
+        safe_g = jnp.where(g == 0, 1.0, g)
+        safe_n = jnp.where(gs == 0, 1.0, gs)
+        w = fn(safe_g, safe_n)
+        return jnp.where(act & ms, w, 0.0)
+
+    we = plane(0, 1, f1)
+    ws = plane(1, 0, f1)
+    if four_neighbors:
+        wse = jnp.zeros_like(we)
+        wne = jnp.zeros_like(we)
+    else:
+        wse = plane(1, 1, f2)
+        wne = plane(-1, 1, f2)
+
+    # diagonal = sum of incident edge weights (each plane contributes at
+    # both endpoints)
+    diag = (we + _sh(we[None], 0, 1)[0] +
+            ws + _sh(ws[None], 1, 0)[0] +
+            wse + _sh(wse[None], 1, 1)[0] +
+            wne + _sh(wne[None], -1, 1)[0])
+    return StencilOperator(we, ws, wse, wne, diag)
 
 
 def _sh(x, dr, dc):
@@ -157,21 +209,34 @@ def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _cg_state_init(A: StencilOperator, B: jnp.ndarray):
-    inv_diag = jnp.where(A.diag > 0,
-                         1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
+def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
+                   prec_apply=None):
+    if prec_apply is None:
+        inv_diag = jnp.where(A.diag > 0,
+                             1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
+        Z = inv_diag[None] * B
+    else:
+        Z = prec_apply(prec, B)
     R = B
-    Z = inv_diag[None] * R
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
     return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
             jnp.asarray(0), big, jnp.asarray(0))
 
 
-def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax):
+def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
+             prec_apply=None):
     """while_loop running until convergence, stall, itmax, or k_stop
-    (the per-device-call step budget for the chunked driver)."""
+    (the per-device-call step budget for the chunked driver).
+
+    prec/prec_apply: preconditioner state pytree + static apply
+    callable (e.g. the geometric-multigrid V-cycle, solve/geomg.py);
+    defaults to Jacobi."""
     inv_diag = jnp.where(A.diag > 0,
                          1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
+    if prec_apply is None:
+        apply_M = lambda r: inv_diag[None] * r
+    else:
+        apply_M = lambda r: prec_apply(prec, r)
 
     def not_done(carry):
         X, R, Z, P, rz, k, best, since = carry
@@ -195,7 +260,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax):
             (k + 1) % 64 == 0,
             lambda: B - stencil_matvec(A, X),
             lambda: R)
-        Z = inv_diag[None] * R
+        Z = apply_M(R)
         rz_new = jnp.sum(R * Z, axis=(-2, -1))
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         P = Z + beta[:, None, None] * P
@@ -225,10 +290,12 @@ def stencil_cg_device(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     return X, relres, iters
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax):
+@partial(jax.jit, static_argnames=("chunk", "prec_apply"))
+def _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax, prec=None,
+              prec_apply=None):
     k0 = state[5]
-    return _cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax)
+    return _cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax,
+                    prec, prec_apply)
 
 
 @partial(jax.jit)
@@ -238,7 +305,7 @@ def _true_relres(A, B, X, safe_bnorm):
 
 
 def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
-               itmax=100_000, chunk=512):
+               itmax=100_000, chunk=512, prec=None, prec_apply=None):
     """Chunked Jacobi-CG driver: the loop runs on device in bounded
     bursts of `chunk` iterations, with a host check between bursts.
 
@@ -256,9 +323,11 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     eps_floor = 32 * jnp.finfo(jnp.asarray(B).dtype).eps
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
-    state = _cg_state_init(A, B)
+    state = jax.jit(_cg_state_init, static_argnames=("prec_apply",))(
+        A, B, prec, prec_apply)
     while True:
-        state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax)
+        state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
+                          prec, prec_apply)
         k = int(state[5])
         since = int(state[7])
         resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
@@ -292,7 +361,7 @@ def stencil_matvec_np(A: StencilOperator, x: np.ndarray) -> np.ndarray:
 
 
 def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
-                        itmax=100_000, max_refine=4):
+                        itmax=100_000, max_refine=4, use_mg=None):
     """Mixed-precision solve with HOST-side refinement.
 
     Inner iterations: f32 stencil CG on device (full HBM bandwidth —
@@ -303,6 +372,14 @@ def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
     Returns (X (np.float64), relres (nrhs,), total_iters).
     """
     A_lo = _to_dtype(A_hi, jnp.float32)
+    ncells = A_lo.shape[0] * A_lo.shape[1]
+    if use_mg is None:
+        use_mg = ncells > 4096
+    prec = prec_apply = None
+    if use_mg:
+        from .geomg import build_geo_mg, geomg_apply
+        prec = build_geo_mg(A_hi, jnp.float32)
+        prec_apply = geomg_apply
     B = np.asarray(B, np.float64)
     nb = B.shape[0]
     bnorm = np.linalg.norm(B.reshape(nb, -1), axis=1)
@@ -314,7 +391,8 @@ def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
     rel = np.full(nb, np.inf)
     for _ in range(max_refine):
         dX, _, it = stencil_cg(A_lo, jnp.asarray(R, jnp.float32),
-                               rtol, itmax=itmax)
+                               rtol, itmax=itmax, prec=prec,
+                               prec_apply=prec_apply)
         X = X + np.asarray(dX, np.float64)
         R = B - stencil_matvec_np(A_hi, X)
         rel = np.linalg.norm(R.reshape(nb, -1), axis=1) / safe_bnorm
@@ -322,6 +400,82 @@ def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
         if np.all(rel <= rtol):
             break
     return X, rel, total_iters
+
+
+@partial(jax.jit, static_argnames=("H", "W", "b_pad"))
+def _pairs_rhs(src_cells, dst_cells, H, W, b_pad):
+    """Build the ±1 pair RHS block on device from index arrays (the only
+    upload is a few hundred int32s)."""
+    nb = src_cells.shape[0]
+    rhs = jnp.zeros((b_pad, H, W), jnp.float64)
+    cols = jnp.arange(nb)
+    rhs = rhs.at[cols, src_cells[:, 0], src_cells[:, 1]].add(-1.0)
+    rhs = rhs.at[cols, dst_cells[:, 0], dst_cells[:, 1]].add(1.0)
+    return rhs
+
+
+@partial(jax.jit)
+def _extract_point_voltages(X, src_cells, point_cells):
+    """Per-column normalized voltages at the focal cells, on device.
+
+    Returns (vsrc-normalized values at point_cells (nb, npts),
+    values at src (nb,))."""
+    nb = X.shape[0]
+    cols = jnp.arange(nb)
+    vsrc = X[cols, src_cells[:, 0], src_cells[:, 1]]
+    Vp = X[:, point_cells[:, 0], point_cells[:, 1]] - vsrc[:, None]
+    return Vp, vsrc
+
+
+def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
+                        dst_cells: np.ndarray, rtol=1e-6, itmax=100_000,
+                        prec=None, prec_apply=None, max_refine=4):
+    """Device-resident mixed-precision pair solve.
+
+    The RHS block is scattered on device from (row, col) index arrays;
+    inner iterations run in f32 (chunked MG-CG); outer residuals and
+    the solution accumulate in f64 ON DEVICE (plain f64 elementwise /
+    stencil ops — no f64 while_loops).  Nothing larger than the index
+    arrays and per-pair scalars crosses the host link.
+
+    Returns (X (f64 device array, (b_pad, H, W)), rel (np, nb), iters).
+    """
+    H, W = S64.shape
+    nb = src_cells.shape[0]
+    b_pad = 1 << max(0, nb - 1).bit_length()
+    sc = jnp.asarray(src_cells, jnp.int32)
+    dc = jnp.asarray(dst_cells, jnp.int32)
+    if b_pad != nb:
+        pad = jnp.zeros((b_pad - nb, 2), jnp.int32)
+        sc_p = jnp.concatenate([sc, pad])
+        dc_p = jnp.concatenate([dc, pad])
+        # padded columns: src == dst == (0,0) -> rhs column is all zero
+        B = _pairs_rhs(sc_p, dc_p, H, W, b_pad)
+        B = B.at[nb:].set(0.0)
+    else:
+        B = _pairs_rhs(sc, dc, H, W, b_pad)
+
+    A_lo = _to_dtype(S64, jnp.float32)
+
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
+    safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
+
+    matvec64 = jax.jit(stencil_matvec)
+    X = jnp.zeros_like(B)
+    R = B
+    total_iters = 0
+    rel = np.full(b_pad, np.inf)
+    for _ in range(max_refine):
+        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), rtol,
+                               itmax=itmax, prec=prec, prec_apply=prec_apply)
+        X = X + dX.astype(jnp.float64)
+        R = B - matvec64(S64, X)
+        rel = np.asarray(
+            jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
+        total_iters += int(it)
+        if np.all(rel[:nb] <= rtol):
+            break
+    return X, rel[:nb], total_iters
 
 
 def _to_dtype(A: StencilOperator, dtype) -> StencilOperator:
