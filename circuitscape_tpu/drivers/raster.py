@@ -121,6 +121,52 @@ def compute_graph_data_polygons(rasterdata, flags, pt1, pt2, cum, cfg, dtype):
                         [], nodemap, newpoly, hbmeta, gmap, cum, solver)
 
 
+class LazyStencilGraph:
+    """Deferred CSR Laplacian for the raster stencil fast path.
+
+    When the whole job runs on the stencil operator (no polygons), the
+    general sparse matrix is never needed — building it for a 1M-cell
+    raster costs seconds of host time.  This stands in for prob.G and
+    materializes the real Laplacian only if a non-stencil code path
+    asks for it."""
+
+    def __init__(self, cellmap, nodemap, avg_res, four_neighbors, dtype):
+        self._cellmap = cellmap
+        self._nodemap = nodemap
+        self._avg_res = avg_res
+        self._four = four_neighbors
+        n = int(nodemap.max())
+        self.shape = (n, n)
+        self.dtype = np.dtype(dtype)
+        self._mat = None
+
+    def materialize(self):
+        if self._mat is None:
+            a = build.construct_graph(self._cellmap, self._nodemap,
+                                      self._avg_res, self._four)
+            self._mat = build.laplacian(a).astype(self.dtype)
+        return self._mat
+
+    def __getitem__(self, key):
+        return self.materialize()[key]
+
+
+def _grid_components(cellmap, nodemap, four_neighbors):
+    """Connected components of the active-cell grid via ndimage labeling
+    (equivalent to components of the stencil graph, at a fraction of the
+    sparse-matrix cost)."""
+    from scipy import ndimage
+    structure = (np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+                 if four_neighbors else np.ones((3, 3), np.int64))
+    labels, nlab = ndimage.label(cellmap > 0, structure=structure)
+    comps = []
+    for lab in range(1, nlab + 1):
+        nodes = nodemap[labels == lab]
+        comps.append(np.sort(nodes[nodes > 0]))
+    comps.sort(key=lambda c: c[0] if len(c) else 0)
+    return comps
+
+
 def compute_graph_data_no_polygons(data, flags, cfg, dtype):
     """src/raster/pairwise.jl:192-238."""
     cellmap = data.cellmap
@@ -128,10 +174,17 @@ def compute_graph_data_no_polygons(data, flags, cfg, dtype):
     points_rc = data.points_rc
 
     nodemap = build.construct_node_map(cellmap, polymap)
-    G = build.construct_graph(cellmap, nodemap, flags.avg_res,
-                              flags.four_neighbors)
-    G = build.laplacian(G)
-    cc = build.components(G)
+    # Stencil-eligible jobs (no polygons, iterative tier) defer the
+    # sparse Laplacian: the device solve only needs the weight planes.
+    if polymap.size == 0 and cfg.solver == "cg+amg":
+        G = LazyStencilGraph(cellmap, nodemap, flags.avg_res,
+                             flags.four_neighbors, dtype)
+        cc = _grid_components(cellmap, nodemap, flags.four_neighbors)
+    else:
+        G = build.construct_graph(cellmap, nodemap, flags.avg_res,
+                                  flags.four_neighbors)
+        G = build.laplacian(G)
+        cc = build.components(G)
 
     if not data.included_pairs.isempty():
         exclude_pairs = generate_exclude_pairs(points_rc, data.included_pairs)
