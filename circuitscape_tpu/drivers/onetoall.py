@@ -10,6 +10,8 @@ position) since the golden outputs encode them.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import cslog, out
@@ -35,8 +37,152 @@ def prune_strengths(strengths, point_ids):
     return strengths[keep]
 
 
+def _onetoall_device_fast(data, flags, cfg, dtype):
+    """Batched device path for one-to-all / all-to-one.
+
+    Every focal node's advanced solve becomes one column of a single
+    batched stencil system: its grounds are imposed as per-column
+    diagonal penalties (solve/stencil.py stencil_solve_advanced_batch),
+    so ALL focal-node solves of the whole job run as one device batch
+    instead of the reference's one-task-per-point loop
+    (src/raster/onetoall.jl:146-151).  Used when the raster has no
+    polygons/regions/include-pairs (the stencil is exactly the graph).
+
+    Returns the result matrix, or None when preconditions do not hold.
+    """
+    import jax.numpy as jnp
+
+    from .. import consts
+    from ..solve.dispatch import SolverFailedError
+    from ..solve.geomg import build_geo_mg, geomg_apply
+    from ..solve.stencil import (StencilOperator, _to_dtype,
+                                 advanced_ground_penalty,
+                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_solve_advanced_batch)
+    from ..graph import build
+
+    strengths = data.strengths
+    points_rc = data.points_rc
+    gmap = data.cellmap
+    hbmeta = data.hbmeta
+    rows, cols, pts = points_rc
+
+    if (data.polymap.size or not data.included_pairs.isempty() or
+            cfg.solver != "cg+amg" or
+            len(pts) != len(np.unique(pts))):
+        return None
+    min_cells = int(os.environ.get("CS_ONETOALL_DEVICE_MIN", "40000"))
+    if gmap.size < min_cells:
+        return None
+
+    one_to_all = flags.is_onetoall
+    use_var = strengths.size > 0
+    of = flags.outputflags
+    H, W = gmap.shape
+
+    cslog.info("one-to-all device fast path: %s points in one batch",
+               len(pts))
+
+    planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    S32 = _to_dtype(S64, jnp.float32)
+    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+
+    # component label per focal point (grid components)
+    from .raster import _grid_components
+    nodemap = build.construct_node_map(gmap, np.zeros((0, 0), np.int64))
+    comps = _grid_components(gmap, nodemap, flags.four_neighbors)
+    node_of = [int(nodemap[rows[i] - 1, cols[i] - 1]) for i in range(len(pts))]
+    comp_of = np.full(len(pts), -1)
+    for ci, comp in enumerate(comps):
+        cset = set(int(x) for x in comp)
+        for i, node in enumerate(node_of):
+            if node in cset:
+                comp_of[i] = ci
+
+    npts = len(pts)
+    cells = np.column_stack([np.asarray(rows) - 1, np.asarray(cols) - 1])
+    strength = np.ones(npts)
+    if use_var:
+        strength = strengths[:npts, 1].astype(np.float64)
+    penalty = advanced_ground_penalty(S64)
+
+    src_cells = np.zeros((npts, npts, 2), np.int64)
+    src_vals = np.zeros((npts, npts), np.float64)
+    gnd_cells = np.tile(cells[None], (npts, 1, 1))
+    gnd_vals = np.zeros((npts, npts), np.float64)
+    active = np.ones(npts, bool)
+
+    for i in range(npts):
+        same_comp = (comp_of == comp_of[i]) & (comp_of >= 0)
+        others = same_comp.copy()
+        others[i] = False
+        if not others.any():
+            active[i] = False
+            continue
+        if one_to_all:
+            src_cells[i, 0] = cells[i]
+            src_vals[i, 0] = strength[i]
+            gnd_vals[i] = np.where(np.arange(npts) != i, penalty, 0.0)
+        else:
+            src_cells[i] = cells
+            src_vals[i] = np.where(others, strength, 0.0)
+            gnd_vals[i] = np.where(np.arange(npts) == i, penalty, 0.0)
+
+    res = np.full(npts, -1.0)
+    cum = out.initialize_cum_maps(gmap, of.write_max_cur_maps)
+
+    idx_active = np.nonzero(active)[0]
+    if idx_active.size:
+        X, rel, iters = stencil_solve_advanced_batch(
+            S64, src_cells[idx_active], src_vals[idx_active],
+            gnd_cells[idx_active], gnd_vals[idx_active],
+            rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
+            prec=prec, prec_apply=geomg_apply)
+        if np.any(rel >= consts.RESIDUAL_GATE):
+            raise SolverFailedError(
+                f"one-to-all device solve residual {float(rel.max())} "
+                f"exceeds tolerance {consts.RESIDUAL_GATE}")
+
+        # per-point results
+        own = jnp.asarray(cells[idx_active], jnp.int32)
+        vals = np.asarray(X[jnp.arange(len(idx_active)), own[:, 0],
+                            own[:, 1]])
+        for k, i in enumerate(idx_active):
+            if one_to_all:
+                v = vals[k] / strength[i]
+                res[i] = -1.0 if v == 0 else v
+            else:
+                res[i] = 0.0
+
+        if of.write_cur_maps or of.write_cum_cur_map_only:
+            ncur = stencil_node_currents(S64, X)
+            if of.write_cur_maps:
+                cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))
+                if of.write_max_cur_maps:
+                    np.maximum(cum.max_curr,
+                               np.asarray(jnp.max(ncur, axis=0)),
+                               out=cum.max_curr)
+            for k, i in enumerate(idx_active):
+                out.write_grid(np.asarray(ncur[k], dtype), f"_{int(pts[i])}",
+                               cfg, hbmeta, cellmap=gmap)
+        if of.write_volt_maps:
+            for k, i in enumerate(idx_active):
+                out.write_grid(np.asarray(X[k], dtype), f"_{int(pts[i])}",
+                               cfg, hbmeta, cellmap=gmap, voltage=True)
+
+    if of.write_cur_maps or of.write_cum_cur_map_only:
+        out.write_cum_maps(cum, gmap, cfg, hbmeta, of.write_max_cur_maps,
+                           of.write_cum_cur_map_only)
+
+    return np.column_stack([np.asarray(pts, dtype), res.astype(dtype)])
+
+
 def onetoall_kernel(data, flags, cfg, dtype=np.float64):
     """src/raster/onetoall.jl:13-167."""
+    fast = _onetoall_device_fast(data, flags, cfg, dtype)
+    if fast is not None:
+        return fast
     strengths = data.strengths
     included_pairs = data.included_pairs
     points_rc = data.points_rc

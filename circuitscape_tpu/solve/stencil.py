@@ -209,14 +209,90 @@ def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
-                   prec_apply=None):
+def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
+                          cutoff=1e-8) -> jnp.ndarray:
+    """Node current maps from voltage blocks, on device.
+
+    Mirrors the reference's node current = max(inflow, outflow) with
+    positive/negative branch splitting and the 1e-8*max branch cutoff
+    (src/out.jl:178-290), expressed as shifted-plane arithmetic over
+    (B, H, W) voltage blocks.  The cutoff max is taken per column over
+    the whole grid (the reference takes it per component; differences
+    affect only branches below 1e-8 of the maximum).
+    """
+    dirs = []  # (dr, dc, weight_plane_at_j)
+    dirs.append((0, 1, A.we))                        # E
+    dirs.append((0, -1, _sh(A.we[None], 0, 1)[0]))   # W
+    dirs.append((1, 0, A.ws))                        # S
+    dirs.append((-1, 0, _sh(A.ws[None], 1, 0)[0]))   # N
+    dirs.append((1, 1, A.wse))                       # SE
+    dirs.append((-1, -1, _sh(A.wse[None], 1, 1)[0]))  # NW
+    dirs.append((-1, 1, A.wne))                      # NE
+    dirs.append((1, -1, _sh(A.wne[None], -1, 1)[0]))  # SW
+
+    # branch-current cutoff threshold per column (max |signed branch|)
+    maxb = jnp.zeros(V.shape[0], V.dtype)
+    flows = []
+    for dr, dc, w in dirs:
+        vn = _sh(V, -dr, -dc)
+        f = w[None] * (vn - V)
+        flows.append(f)
+        maxb = jnp.maximum(maxb, jnp.max(jnp.abs(f), axis=(-2, -1)))
+    thr = (cutoff * maxb)[:, None, None]
+
+    inflow = jnp.zeros_like(V)
+    outflow = jnp.zeros_like(V)
+    for f in flows:
+        f = jnp.where(jnp.abs(f) < thr, 0.0, f)
+        inflow = inflow + jnp.maximum(f, 0.0)
+        outflow = outflow + jnp.maximum(-f, 0.0)
+    return jnp.maximum(inflow, outflow)
+
+
+def _apply_op(A, x, pen):
+    """Operator application with an optional per-column diagonal
+    penalty field (B, H, W) — the batched-Dirichlet mechanism for
+    advanced/one-to-all grounds."""
+    y = stencil_matvec(A, x)
+    if pen is not None:
+        y = y + pen * x
+    return y
+
+
+def _make_prec_apply(A, prec, prec_apply, pen):
+    """Preconditioner application closure shared by the CG init and
+    loop (they must apply the IDENTICAL operator for CG to be valid).
+
+    With a penalty field, the preconditioner is the SPD combination
+    M^-1 = P M0^-1 P + D_pen — the base V-cycle on the projection onto
+    non-penalized cells plus exact diagonal inversion on penalized
+    cells (P = mask projector, both terms SPD on complementary
+    subspaces)."""
+    if pen is not None:
+        full_diag = A.diag[None] + pen
+        inv_pen = jnp.where(full_diag > 0,
+                            1.0 / jnp.where(full_diag == 0, 1.0, full_diag),
+                            1.0)
     if prec_apply is None:
         inv_diag = jnp.where(A.diag > 0,
                              1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
-        Z = inv_diag[None] * B
-    else:
-        Z = prec_apply(prec, B)
+        if pen is None:
+            return lambda r: inv_diag[None] * r
+        return lambda r: inv_pen * r
+    if pen is None:
+        return lambda r: prec_apply(prec, r)
+
+    def apply_M(r):
+        r_in = jnp.where(pen > 0, 0.0, r)
+        z = prec_apply(prec, r_in)
+        return jnp.where(pen > 0, r * inv_pen, z)
+
+    return apply_M
+
+
+def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
+                   prec_apply=None, pen=None):
+    Z = _make_prec_apply(A, prec, prec_apply, pen)(B)
     R = B
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
     return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
@@ -224,7 +300,7 @@ def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
 
 
 def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
-             prec_apply=None):
+             prec_apply=None, pen=None):
     """while_loop running until convergence, stall, itmax, or k_stop
     (the per-device-call step budget for the chunked driver).
 
@@ -233,10 +309,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
     defaults to Jacobi."""
     inv_diag = jnp.where(A.diag > 0,
                          1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
-    if prec_apply is None:
-        apply_M = lambda r: inv_diag[None] * r
-    else:
-        apply_M = lambda r: prec_apply(prec, r)
+    apply_M = _make_prec_apply(A, prec, prec_apply, pen)
 
     def not_done(carry):
         X, R, Z, P, rz, k, best, since = carry
@@ -248,7 +321,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
 
     def body(carry):
         X, R, Z, P, rz, k, best, since = carry
-        AP = stencil_matvec(A, P)
+        AP = _apply_op(A, P, pen)
         pAp = jnp.sum(P * AP, axis=(-2, -1))
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         X = X + alpha[:, None, None] * P
@@ -258,7 +331,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
         # costs 1 extra matvec every 64 iterations.
         R = jax.lax.cond(
             (k + 1) % 64 == 0,
-            lambda: B - stencil_matvec(A, X),
+            lambda: B - _apply_op(A, X, pen),
             lambda: R)
         Z = apply_M(R)
         rz_new = jnp.sum(R * Z, axis=(-2, -1))
@@ -292,10 +365,10 @@ def stencil_cg_device(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
 
 @partial(jax.jit, static_argnames=("chunk", "prec_apply"))
 def _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax, prec=None,
-              prec_apply=None):
+              prec_apply=None, pen=None):
     k0 = state[5]
     return _cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax,
-                    prec, prec_apply)
+                    prec, prec_apply, pen)
 
 
 @partial(jax.jit)
@@ -305,7 +378,8 @@ def _true_relres(A, B, X, safe_bnorm):
 
 
 def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
-               itmax=100_000, chunk=512, prec=None, prec_apply=None):
+               itmax=100_000, chunk=512, prec=None, prec_apply=None,
+               pen=None):
     """Chunked Jacobi-CG driver: the loop runs on device in bounded
     bursts of `chunk` iterations, with a host check between bursts.
 
@@ -324,10 +398,10 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
     state = jax.jit(_cg_state_init, static_argnames=("prec_apply",))(
-        A, B, prec, prec_apply)
+        A, B, prec, prec_apply, pen)
     while True:
         state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
-                          prec, prec_apply)
+                          prec, prec_apply, pen)
         k = int(state[5])
         since = int(state[7])
         resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
@@ -476,6 +550,77 @@ def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
         if np.all(rel[:nb] <= rtol):
             break
     return X, rel[:nb], total_iters
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _scatter_field(cells, vals, H, W):
+    """(B, K, 2) cells + (B, K) values -> (B, H, W) field (zeros
+    elsewhere; padding entries carry value 0)."""
+    B = cells.shape[0]
+    cols = jnp.arange(B)[:, None]
+    return jnp.zeros((B, H, W), vals.dtype).at[
+        cols, cells[..., 0], cells[..., 1]].add(vals)
+
+
+def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
+                                 gnd_cells, gnd_vals, rtol=1e-6,
+                                 itmax=100_000, prec=None, prec_apply=None,
+                                 max_refine=4):
+    """Batched advanced-mode solve: (G + diag(g)) v = s per column.
+
+    Each column has its own sources (cells + strengths) and grounds
+    (cells + conductances).  Infinite grounds are imposed by penalty:
+    pass a huge conductance (see advanced_ground_penalty) — the solved
+    voltage at those cells is O(1/penalty), matching the reference's
+    row/col deletion (src/raster/advanced.jl:282-304) to far below the
+    solve tolerance.  All scatters/solves/residuals stay on device;
+    mixed precision as in stencil_solve_pairs.
+
+    src_cells/gnd_cells: (B, K, 2) int arrays (pad with (0,0) + value 0)
+    src_vals/gnd_vals:   (B, K) float64
+
+    Returns (X (f64 device, (B, H, W)), rel (np, B), iters).
+    """
+    H, W = S64.shape
+    B_rhs = _scatter_field(jnp.asarray(src_cells, jnp.int32),
+                           jnp.asarray(src_vals, jnp.float64), H, W)
+    pen64 = _scatter_field(jnp.asarray(gnd_cells, jnp.int32),
+                           jnp.asarray(gnd_vals, jnp.float64), H, W)
+    pen32 = pen64.astype(jnp.float32)
+
+    A_lo = _to_dtype(S64, jnp.float32)
+    bnorm = jnp.sqrt(jnp.sum(B_rhs * B_rhs, axis=(-2, -1)))
+    safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
+
+    def matvec64(S, X, pen):
+        return stencil_matvec(S, X) + pen * X
+
+    mv64 = jax.jit(matvec64)
+    X = jnp.zeros_like(B_rhs)
+    R = B_rhs
+    total_iters = 0
+    nb = B_rhs.shape[0]
+    rel = np.full(nb, np.inf)
+    for _ in range(max_refine):
+        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), rtol,
+                               itmax=itmax, prec=prec,
+                               prec_apply=prec_apply, pen=pen32)
+        X = X + dX.astype(jnp.float64)
+        R = B_rhs - mv64(S64, X, pen64)
+        rel = np.asarray(
+            jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
+        total_iters += int(it)
+        if np.all(rel <= rtol):
+            break
+    return X, rel, total_iters
+
+
+def advanced_ground_penalty(S64: StencilOperator) -> float:
+    """Penalty conductance standing in for an infinite (direct) ground:
+    large enough that the residual ground voltage is far below the 1e-6
+    solve target, small enough to stay well-conditioned in f32 after
+    Jacobi scaling."""
+    return 1e8 * float(jnp.max(S64.diag))
 
 
 def _to_dtype(A: StencilOperator, dtype) -> StencilOperator:

@@ -78,3 +78,15 @@ def test_raster_all_to_one(solver, i):
     x = readdlm(f"{DATA_DIR}/output_verify/allToOneVerify{i}_resistances.out")
     check_resistances(x, r, TOL, label=f"allToOneVerify{i}")
     compare_all_output(f"allToOneVerify{i}")
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_single_precision_spot(solver):
+    """Single precision end-to-end (reference tolerance tier:
+    tol 1e-4, compared at sqrt -> 1e-2)."""
+    r = compute_with("input/raster/pairwise/2/sgVerify2.ini",
+                     solver=solver, precision="single")
+    assert r.dtype == np.float32
+    x = readdlm(f"{DATA_DIR}/output_verify/sgVerify2_resistances.out")
+    check_resistances(x, r, 1e-4, label="sgVerify2-single")
+    compare_all_output("sgVerify2", is_single=True)

@@ -1,0 +1,56 @@
+"""Device fast path for one-to-all / all-to-one: must agree with the
+general (reference-parity) path on a medium synthetic problem."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import circuitscape_tpu as cs
+
+
+def _job(tmp_path, scenario, write_maps=False):
+    H = W = 80
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.05] = -9999
+    hdr = (f"ncols {W}\nnrows {H}\nxllcorner 0\nyllcorner 0\n"
+           f"cellsize 1\nNODATA_value -9999\n")
+    (tmp_path / "cell.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in g))
+    pts = np.zeros((H, W), int)
+    placed = 0
+    while placed < 6:
+        r, c = rng.integers(0, H, 2)
+        if g[r, c] > 0 and pts[r, c] == 0:
+            placed += 1
+            pts[r, c] = placed
+    (tmp_path / "pts.asc").write_text(
+        hdr + "\n".join(" ".join(str(v) for v in row) for row in pts))
+    return {
+        "data_type": "raster", "scenario": scenario,
+        "habitat_file": str(tmp_path / "cell.asc"),
+        "point_file": str(tmp_path / "pts.asc"),
+        "output_file": str(tmp_path / "job.out"),
+        "solver": "cg+amg",
+        "write_cur_maps": "True" if write_maps else "False",
+    }
+
+
+@pytest.mark.parametrize("scenario", ["one-to-all", "all-to-one"])
+def test_device_path_matches_general(tmp_path, monkeypatch, scenario):
+    d = _job(tmp_path, scenario, write_maps=True)
+
+    monkeypatch.setenv("CS_ONETOALL_DEVICE_MIN", "100000000")  # force off
+    r_general = cs.compute(dict(d))
+    cum_general = np.loadtxt(tmp_path / "job_cum_curmap.asc", skiprows=6)
+
+    monkeypatch.setenv("CS_ONETOALL_DEVICE_MIN", "1")          # force on
+    d["output_file"] = str(tmp_path / "job2.out")
+    r_fast = cs.compute(dict(d))
+    cum_fast = np.loadtxt(tmp_path / "job2_cum_curmap.asc", skiprows=6)
+
+    assert np.allclose(np.asarray(r_general), np.asarray(r_fast),
+                       atol=1e-5), (r_general, r_fast)
+    assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
