@@ -127,16 +127,28 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
 
     # TPU fast path: a raster without polygons is exactly a stencil, so
     # the whole grid solves as dense shifted-plane CG — all components
-    # and all anchor pairs in one batched device solve, no sparse
-    # submatrix extraction.  Maps/excludes fall through to the general
-    # per-component path below.
-    use_stencil = (get_shortcut and flags.is_raster and
-                   prob.polymap.size == 0 and not prob.solver.is_direct and
-                   prob.cellmap.size > 0 and prob.nodemap.size > 0)
-    if use_stencil:
+    # and all pairs in one batched device solve, no sparse submatrix
+    # extraction.  Shortcut mode always takes it; maps-on jobs take the
+    # device maps variant above a size threshold (tiny golden-corpus
+    # problems keep the general reference-parity path).
+    stencil_ok = (flags.is_raster and prob.polymap.size == 0 and
+                  not prob.solver.is_direct and prob.cellmap.size > 0 and
+                  prob.nodemap.size > 0)
+    if stencil_ok and get_shortcut:
         _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                                 shortcut_res, dtype)
         resistances = shortcut_res
+        np.fill_diagonal(resistances, 0)
+        op = np.asarray(orig_pts, dtype)
+        r = np.vstack([np.concatenate([np.zeros(1, dtype), op])[None, :],
+                       np.column_stack([op, resistances])])
+        out.save_resistances(r, cfg)
+        return r
+
+    import os as _os
+    maps_min = int(_os.environ.get("CS_PAIRWISE_DEVICE_MIN", "40000"))
+    if stencil_ok and prob.cellmap.size >= maps_min:
+        _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude)
         np.fill_diagonal(resistances, 0)
         op = np.asarray(orig_pts, dtype)
         r = np.vstack([np.concatenate([np.zeros(1, dtype), op])[None, :],
@@ -405,6 +417,150 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
         update_shortcut_resistances(anchor,
                                     _Shortcut(True, voltmatrix, shortcut_res),
                                     resistances, points, comp)
+
+
+def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
+    """Maps-on pairwise via the stencil device path.
+
+    All pairs of all components solve as one batched stencil system;
+    per-pair current maps (node currents as shifted-plane inflow/outflow
+    maxima) and voltage maps are computed on device, cumulative and max
+    maps reduce over the batch axis on device, and per-pair files fetch
+    one map each only when actually written."""
+    import jax.numpy as jnp
+
+    from .. import consts
+    from ..checkpoint import Checkpoint
+    from ..solve.dispatch import SolverFailedError
+    from ..solve.geomg import build_geo_mg, geomg_apply
+    from ..solve.stencil import (StencilOperator, _to_dtype,
+                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_solve_pairs)
+
+    points = prob.points
+    orig_pts = prob.user_points
+    nodemap = prob.nodemap
+    of = flags.outputflags
+    dtype = resistances.dtype
+    H, W = nodemap.shape
+
+    cslog.info("pairwise device fast path (maps on)")
+    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
+                               flags.four_neighbors)
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    S32 = _to_dtype(S64, jnp.float32)
+    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+
+    rr, cc_ = np.nonzero(nodemap)
+    node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
+    node_cell[nodemap[rr, cc_]] = np.column_stack([rr, cc_])
+
+    # component label per cell (voltmaps are zero outside the pair's
+    # component, matching create_voltage_map on the local nodemap)
+    comp_label_of_node = np.zeros(int(nodemap.max()) + 1, np.int32)
+    for ci, comp in enumerate(prob.cc):
+        comp_label_of_node[np.asarray(comp)] = ci + 1
+    labels_grid = np.zeros((H, W), np.int32)
+    labels_grid[rr, cc_] = comp_label_of_node[nodemap[rr, cc_]]
+    labels_dev = jnp.asarray(labels_grid)
+
+    ckpt = Checkpoint(getattr(cfg, "checkpoint_file", ""))
+    done_pairs = ckpt.load(resistances, cum)
+
+    # all-pairs assembly across components (same semantics as the
+    # general path: solve once per node pair, assign to all combos)
+    pair_list = []
+    for comp in prob.cc:
+        comp = np.sort(np.asarray(comp))
+        cset = set(int(x) for x in comp)
+        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        for pi in range(len(csub)):
+            src_node = csub[pi]
+            src_indices = np.nonzero(points == src_node)[0]
+            for ii in range(len(src_indices)):
+                for jj in range(ii + 1, len(src_indices)):
+                    resistances[src_indices[ii], src_indices[jj]] = 0
+                    resistances[src_indices[jj], src_indices[ii]] = 0
+            for pj in range(pi + 1, len(csub)):
+                dst_node = csub[pj]
+                if dst_node == src_node:
+                    continue
+                dst_indices = np.nonzero(points == dst_node)[0]
+                combos = [(int(ci), int(cj))
+                          for ci in src_indices for cj in dst_indices
+                          if (int(orig_pts[ci]), int(orig_pts[cj]))
+                          not in exclude]
+                if not combos:
+                    continue
+                if done_pairs and all(c in done_pairs for c in combos):
+                    continue
+                pair_list.append((src_node, dst_node, combos))
+
+    per_col = H * W * 8 * 8
+    step = max(1, min(2048, (4 << 30) // max(per_col, 1)))
+    for s0 in range(0, len(pair_list), step):
+        chunk = pair_list[s0:s0 + step]
+        bsz = len(chunk)
+        src_cells = np.asarray([node_cell[p[0]] for p in chunk], np.int64)
+        dst_cells = np.asarray([node_cell[p[1]] for p in chunk], np.int64)
+        X, rel, iters = stencil_solve_pairs(
+            S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+            itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply)
+        if np.any(rel >= consts.RESIDUAL_GATE):
+            raise SolverFailedError(
+                f"CG solver did not converge: relative residual "
+                f"{float(rel.max())} exceeds tolerance "
+                f"{consts.RESIDUAL_GATE}")
+        Xb = X[:bsz]
+        # normalize each column to its source cell (on device), keeping
+        # cells outside the pair's component at zero
+        cols = jnp.arange(bsz)
+        scj = jnp.asarray(src_cells, jnp.int32)
+        dcj = jnp.asarray(dst_cells, jnp.int32)
+        vsrc = Xb[cols, scj[:, 0], scj[:, 1]]
+        pair_label = labels_dev[scj[:, 0], scj[:, 1]]
+        in_comp = labels_dev[None] == pair_label[:, None, None]
+        Xb = jnp.where(in_comp, Xb - vsrc[:, None, None], 0.0)
+        rvals = np.asarray(Xb[cols, dcj[:, 0], dcj[:, 1]])
+
+        write_pair_files = (of.write_cur_maps and
+                            not of.write_cum_cur_map_only)
+        need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
+                    of.write_max_cur_maps)
+        ncur = None
+        if need_cur:
+            ncur = stencil_node_currents(S64, Xb)
+            if of.log_transform_maps or of.set_null_currents_to_nodata:
+                # match process_grid! per-map postprocess on device
+                nodata = prob.hbmeta.nodata
+                if of.log_transform_maps:
+                    ncur = jnp.where(ncur > 0, jnp.log10(ncur), nodata)
+                if of.set_null_currents_to_nodata:
+                    cmask = jnp.asarray(prob.cellmap == 0)
+                    ncur = jnp.where(cmask[None], nodata, ncur)
+            cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0), dtype)
+            if of.write_max_cur_maps:
+                np.maximum(cum.max_curr,
+                           np.asarray(jnp.max(ncur, axis=0), dtype),
+                           out=cum.max_curr)
+
+        for col, (src_node, dst_node, combos) in enumerate(chunk):
+            resistance = float(rvals[col])
+            for (c_i, c_j) in combos:
+                resistances[c_i, c_j] = resistance
+                resistances[c_j, c_i] = resistance
+                name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
+                if write_pair_files:
+                    out.write_grid(np.asarray(ncur[col], dtype), name, cfg,
+                                   prob.hbmeta)
+                if of.write_volt_maps:
+                    vm = np.asarray(Xb[col], dtype)
+                    if of.set_null_voltages_to_nodata:
+                        vm[prob.cellmap == 0] = prob.hbmeta.nodata
+                    out.write_grid(vm, name, cfg, prob.hbmeta, voltage=True)
+            ckpt.mark(combos)
+        ckpt.save(resistances, cum)
+    ckpt.finish()
 
 
 def update_shortcut_resistances(anchor, sc, resistances, points, comp):

@@ -54,3 +54,29 @@ def test_device_path_matches_general(tmp_path, monkeypatch, scenario):
     assert np.allclose(np.asarray(r_general), np.asarray(r_fast),
                        atol=1e-5), (r_general, r_fast)
     assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
+
+
+def test_pairwise_maps_device_matches_general(tmp_path, monkeypatch):
+    """Maps-on pairwise device path must match the general path:
+    resistances, cum/max maps, and per-pair current + voltage maps."""
+    d = _job(tmp_path, "pairwise", write_maps=True)
+    d["write_volt_maps"] = "True"
+    d["write_max_cur_maps"] = "True"
+
+    monkeypatch.setenv("CS_PAIRWISE_DEVICE_MIN", "100000000")  # force off
+    r_general = cs.compute(dict(d))
+    import glob
+    files = sorted(os.path.basename(p)
+                   for p in glob.glob(str(tmp_path / "job_*.asc")))
+    ref = {f: np.loadtxt(tmp_path / f, skiprows=6) for f in files}
+
+    monkeypatch.setenv("CS_PAIRWISE_DEVICE_MIN", "1")          # force on
+    d["output_file"] = str(tmp_path / "jobd.out")
+    r_fast = cs.compute(dict(d))
+    assert np.allclose(np.asarray(r_general), np.asarray(r_fast), atol=1e-5)
+
+    for f, a in ref.items():
+        f2 = f.replace("job_", "jobd_")
+        assert os.path.isfile(tmp_path / f2), f"missing {f2}"
+        b = np.loadtxt(tmp_path / f2, skiprows=6)
+        assert ((a - b) ** 2).sum() < 1e-6, f"{f}: {((a-b)**2).sum()}"
