@@ -127,8 +127,164 @@ def resolve_conflicts(sources, grounds, policy):
     return sources, grounds, finitegrounds
 
 
+def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
+                          force_currents=False):
+    """Device path for plain advanced mode (raster, no polygons).
+
+    One batched stencil solve covers every qualifying component:
+    finite grounds add their exact conductance to the diagonal, direct
+    (infinite) grounds become penalty entries, sources in components
+    without grounds are zeroed (those components are skipped by the
+    reference, src/raster/advanced.jl:194).  Node currents include the
+    finite-ground diagonal current terms (src/out.jl:193-202).
+
+    Returns (volt_grid, outcurr) or None if preconditions fail.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from .. import consts
+    from ..solve.dispatch import SolverFailedError
+    from ..solve.geomg import build_geo_mg, geomg_apply
+    from ..solve.stencil import (StencilOperator, _sh, _to_dtype,
+                                 advanced_ground_penalty,
+                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_solve_advanced_batch)
+
+    if (not flags.is_raster or prob.polymap.size or
+            cfg.solver != "cg+amg" or prob.check_node != -1 or
+            flags.is_onetoall or flags.is_alltoone):
+        return None
+    min_cells = int(os.environ.get("CS_ADVANCED_DEVICE_MIN", "40000"))
+    if prob.cellmap.size < min_cells:
+        return None
+
+    nodemap = prob.nodemap
+    H, W = nodemap.shape
+    dtype = prob.G.dtype
+    of = flags.outputflags
+
+    cslog.info("advanced device fast path")
+    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
+                               flags.four_neighbors)
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    S32 = _to_dtype(S64, jnp.float32)
+    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+
+    n = prob.G.shape[0]
+    rr, cc_ = np.nonzero(nodemap)
+    node_ids = nodemap[rr, cc_]
+
+    sources = np.asarray(prob.sources, np.float64)
+    grounds = np.asarray(prob.grounds, np.float64)
+    fg_sentinel = (prob.finitegrounds.size == 1 and
+                   prob.finitegrounds[0] == -9999.0)
+    finite = (np.zeros(n) if fg_sentinel
+              else np.asarray(prob.finitegrounds, np.float64))
+
+    # qualifying components: nonzero sources AND grounds
+    # (src/raster/advanced.jl:194)
+    comp_of_node = np.zeros(n + 1, np.int64)
+    for ci, comp in enumerate(prob.cc):
+        comp_of_node[np.asarray(comp)] = ci
+    ncomp = len(prob.cc)
+    # signed sums, exactly like the reference's skip test
+    ssum = np.bincount(comp_of_node[1:], weights=sources, minlength=ncomp)
+    with np.errstate(invalid="ignore"):
+        gsum = np.bincount(comp_of_node[1:],
+                           weights=np.where(np.isinf(grounds), 1.0, grounds),
+                           minlength=ncomp)
+    ok_comp = (ssum != 0) & (gsum != 0)
+    keep = ok_comp[comp_of_node[np.arange(1, n + 1)]]
+    src_vec = np.where(keep, sources, 0.0)
+    if not np.any(src_vec):
+        return None   # nothing to solve; let the general path decide
+
+    penalty = advanced_ground_penalty(S64)
+    inf_mask = np.isinf(grounds)
+    pen_vec = np.where(inf_mask, penalty, finite)
+
+    # vectors -> grids (one column)
+    src_grid = np.zeros((H, W))
+    pen_grid = np.zeros((H, W))
+    src_grid[rr, cc_] = src_vec[node_ids - 1]
+    pen_grid[rr, cc_] = pen_vec[node_ids - 1]
+
+    sc = np.column_stack([rr, cc_])
+    X, rel, iters = stencil_solve_advanced_batch(
+        S64,
+        sc[None], src_grid[rr, cc_][None],
+        sc[None], pen_grid[rr, cc_][None],
+        rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
+        prec=prec, prec_apply=geomg_apply)
+    if np.any(rel >= consts.RESIDUAL_GATE):
+        raise SolverFailedError(
+            f"advanced device solve residual {float(rel.max())} exceeds "
+            f"tolerance {consts.RESIDUAL_GATE}")
+
+    volt = np.array(X[0], dtype)
+    volt[nodemap == 0] = 0
+
+    outcurr = np.zeros((H, W), dtype)
+    if force_currents or of.write_cur_maps or of.write_cum_cur_map_only:
+        if fg_sentinel:
+            ncur = stencil_node_currents(S64, X)[0]
+        else:
+            # finite-ground diagonal current terms (penalty cells are
+            # the reference's deleted nodes — excluded from the term)
+            fin_grid = np.zeros((H, W))
+            fin_grid[rr, cc_] = np.where(inf_mask, 0.0,
+                                         finite)[node_ids - 1]
+            ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid))[0]
+        outcurr = np.asarray(ncur, dtype)
+        if of.write_cur_maps or of.write_cum_cur_map_only:
+            out.write_grid(outcurr.copy(), "", cfg, prob.hbmeta,
+                           cellmap=prob.cellmap)
+    if of.write_volt_maps:
+        out.write_grid(volt.copy(), "", cfg, prob.hbmeta,
+                       cellmap=prob.cellmap, voltage=True)
+
+    return volt, outcurr
+
+
+def _node_currents_with_fg(S, V, fg_grid):
+    """Node currents including the finite-ground diagonal terms
+    (src/out.jl:193-206): inflow += relu(-fg*v), outflow += relu(fg*v),
+    node current = max of the two."""
+    import jax.numpy as jnp
+
+    from ..solve.stencil import _sh
+
+    dirs = [(0, 1, S.we), (0, -1, _sh(S.we[None], 0, 1)[0]),
+            (1, 0, S.ws), (-1, 0, _sh(S.ws[None], 1, 0)[0]),
+            (1, 1, S.wse), (-1, -1, _sh(S.wse[None], 1, 1)[0]),
+            (-1, 1, S.wne), (1, -1, _sh(S.wne[None], -1, 1)[0])]
+    maxb = jnp.zeros(V.shape[0], V.dtype)
+    flows = []
+    for dr, dc, w in dirs:
+        vn = _sh(V, -dr, -dc)
+        f = w[None] * (vn - V)
+        flows.append(f)
+        maxb = jnp.maximum(maxb, jnp.max(jnp.abs(f), axis=(-2, -1)))
+    thr = (1e-8 * maxb)[:, None, None]
+    inflow = jnp.zeros_like(V)
+    outflow = jnp.zeros_like(V)
+    for f in flows:
+        f = jnp.where(jnp.abs(f) < thr, 0.0, f)
+        inflow = inflow + jnp.maximum(f, 0.0)
+        outflow = outflow + jnp.maximum(-f, 0.0)
+    fgv = fg_grid[None] * V
+    inflow = inflow + jnp.maximum(-fgv, 0.0)
+    outflow = outflow + jnp.maximum(fgv, 0.0)
+    return jnp.maximum(inflow, outflow)
+
+
 def advanced_kernel(prob: AdvancedProblem, flags, cfg):
     """src/raster/advanced.jl:151-271."""
+    fast = _advanced_device_fast(prob, flags, cfg)
+    if fast is not None:
+        return fast
     G = prob.G
     nodemap = prob.nodemap
     polymap = prob.polymap

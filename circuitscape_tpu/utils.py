@@ -108,6 +108,13 @@ def compute_omniscape_current(conductance: np.ndarray, source: np.ndarray,
     outcurr = alloc_map(hbmeta, dtype)
     from .out import create_current_maps
 
+    # Large moving windows take the batched device path (one stencil
+    # solve for all components, currents computed on device).
+    from .drivers.advanced import _advanced_device_fast
+    fast = _advanced_device_fast(data, flags, cfg, force_currents=True)
+    if fast is not None:
+        return fast[1]
+
     for c in data.cc:
         c = np.sort(np.asarray(c))
         a_local = G[np.ix_(c - 1, c - 1)].tocsr()

@@ -80,3 +80,58 @@ def test_pairwise_maps_device_matches_general(tmp_path, monkeypatch):
         assert os.path.isfile(tmp_path / f2), f"missing {f2}"
         b = np.loadtxt(tmp_path / f2, skiprows=6)
         assert ((a - b) ** 2).sum() < 1e-6, f"{f}: {((a-b)**2).sum()}"
+
+
+def test_advanced_device_matches_general(tmp_path, monkeypatch):
+    """Advanced-mode device path: voltages + current map parity with
+    the general path, including finite + direct grounds."""
+    H = W = 80
+    rng = np.random.default_rng(11)
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.05] = -9999
+    hdr = (f"ncols {W}\nnrows {H}\nxllcorner 0\nyllcorner 0\n"
+           f"cellsize 1\nNODATA_value -9999\n")
+    (tmp_path / "cell.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in g))
+    src = np.zeros((H, W))
+    gnd = np.full((H, W), -9999.0)
+    placed = 0
+    while placed < 6:
+        r, c = rng.integers(0, H, 2)
+        if g[r, c] > 0 and src[r, c] == 0 and gnd[r, c] == -9999:
+            placed += 1
+            if placed <= 3:
+                src[r, c] = placed
+            elif placed <= 5:
+                gnd[r, c] = 2.0        # finite ground (resistance)
+            else:
+                gnd[r, c] = 0.0001     # nearly direct ground
+    (tmp_path / "src.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in src))
+    (tmp_path / "gnd.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in gnd))
+    d = {
+        "data_type": "raster", "scenario": "advanced",
+        "habitat_file": str(tmp_path / "cell.asc"),
+        "source_file": str(tmp_path / "src.asc"),
+        "ground_file": str(tmp_path / "gnd.asc"),
+        "ground_file_is_resistances": "True",
+        "output_file": str(tmp_path / "adv.out"),
+        "solver": "cg+amg",
+        "write_cur_maps": "True",
+        "write_volt_maps": "True",
+    }
+    monkeypatch.setenv("CS_ADVANCED_DEVICE_MIN", "100000000")
+    v1 = cs.compute(dict(d))
+    cur1 = np.loadtxt(tmp_path / "adv_curmap.asc", skiprows=6)
+    volt1 = np.loadtxt(tmp_path / "adv_voltmap.asc", skiprows=6)
+
+    monkeypatch.setenv("CS_ADVANCED_DEVICE_MIN", "1")
+    d["output_file"] = str(tmp_path / "advd.out")
+    v2 = cs.compute(dict(d))
+    cur2 = np.loadtxt(tmp_path / "advd_curmap.asc", skiprows=6)
+    volt2 = np.loadtxt(tmp_path / "advd_voltmap.asc", skiprows=6)
+
+    assert np.abs(np.asarray(v1) - np.asarray(v2)).max() < 1e-4
+    assert ((cur1 - cur2) ** 2).sum() < 1e-6
+    assert ((volt1 - volt2) ** 2).sum() < 1e-6
