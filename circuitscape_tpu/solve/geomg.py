@@ -33,14 +33,15 @@ from .stencil import StencilOperator, stencil_matvec
 @dataclass
 class GeoMgLevel:
     A: StencilOperator
-    inv_diag: jnp.ndarray  # (H, W) weighted-Jacobi diagonal
+    inv_diag: jnp.ndarray  # (H, W) plain 1/diag (0 on empty cells)
+    lam_max: float         # estimate of rho(D^-1 A) for Chebyshev
 
     def tree_flatten(self):
-        return (self.A, self.inv_diag), ()
+        return (self.A, self.inv_diag), (self.lam_max,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -49,13 +50,15 @@ class GeoMgHierarchy:
     levels: tuple
     coarse_pinv: jnp.ndarray  # (hc*wc, hc*wc)
     coarse_shape: tuple
+    overcorrect: float = 1.9   # coarse-correction scaling (static)
 
     def tree_flatten(self):
-        return (self.levels, self.coarse_pinv), (self.coarse_shape,)
+        return ((self.levels, self.coarse_pinv),
+                (self.coarse_shape, self.overcorrect))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(*children, *aux)
 
 
 def _pad_even(p: np.ndarray) -> np.ndarray:
@@ -126,6 +129,35 @@ def _planes_to_operator(we, ws, wse, wne, dtype) -> StencilOperator:
     return StencilOperator(to(we), to(ws), to(wse), to(wne), to(diag))
 
 
+def _estimate_lam_max(we, ws, wse, wne, iters=12) -> float:
+    """Host power-iteration estimate of rho(D^-1 A) for the Chebyshev
+    smoother interval (D^-1 A of a Laplacian is in (0, 2])."""
+    from .stencil import StencilOperator as _S, stencil_matvec_np
+    diag = np.zeros(we.shape)
+    diag[:, :-1] += we[:, :-1]
+    diag[:, 1:] += we[:, :-1]
+    diag[:-1, :] += ws[:-1, :]
+    diag[1:, :] += ws[:-1, :]
+    diag[:-1, :-1] += wse[:-1, :-1]
+    diag[1:, 1:] += wse[:-1, :-1]
+    diag[1:, :-1] += wne[1:, :-1]
+    diag[:-1, 1:] += wne[1:, :-1]
+    dinv = np.where(diag > 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
+    op = _S(we, ws, wse, wne, diag)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1,) + we.shape)
+    x /= np.linalg.norm(x) + 1e-30
+    lam = 2.0
+    for _ in range(iters):
+        y = dinv[None] * stencil_matvec_np(op, x)
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x = y / nrm
+    return float(min(lam * 1.05, 2.0))
+
+
 def _dense_laplacian(we, ws, wse, wne) -> np.ndarray:
     H, W = we.shape
     n = H * W
@@ -176,11 +208,11 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
             op = fine_op
         else:
             op = _planes_to_operator(we, ws, wse, wne, dtype)
-        # Jacobi weights computed on device from the operator diagonal
         inv = jnp.where(op.diag > 0,
-                        (2.0 / 3.0) / jnp.where(op.diag == 0, 1.0, op.diag),
+                        1.0 / jnp.where(op.diag == 0, 1.0, op.diag),
                         0.0).astype(dtype)
-        levels.append(GeoMgLevel(op, inv))
+        lam = _estimate_lam_max(we, ws, wse, wne)
+        levels.append(GeoMgLevel(op, inv, lam))
         we, ws, wse, wne = _coarsen_planes(we, ws, wse, wne)
 
     dense = _dense_laplacian(we, ws, wse, wne)
@@ -188,8 +220,12 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
     empty = dense.diagonal() == 0
     dense[empty, empty] = 1.0
     pinv = np.linalg.pinv(dense)
+    # The piecewise-constant 2x2 prolongator overestimates coarse
+    # stiffness ~2x per direction; scaling the coarse correction by
+    # ~1.9 restores near-grid-independent rates (25 -> 8 CG iterations
+    # at 250k cells in the tuning sweep).
     return GeoMgHierarchy(tuple(levels), jnp.asarray(pinv, dtype),
-                          we.shape)
+                          we.shape, 1.9)
 
 
 def _restrict(r):
@@ -207,6 +243,34 @@ def _prolong(xc, H, W):
     return up[:, :H, :W]
 
 
+CHEB_DEGREE = 2
+
+
+def _cheb_smooth(L: GeoMgLevel, b, x):
+    """Chebyshev polynomial smoother of fixed degree on D^-1 A
+    (Adams et al. recurrence); a symmetric, stronger alternative to
+    damped Jacobi that needs no inner products — ideal for the batched
+    device V-cycle."""
+    lmax = L.lam_max
+    lmin = lmax / 4.0
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    Dinv = L.inv_diag[None]
+
+    r = b if x is None else b - stencil_matvec(L.A, x)
+    d = (1.0 / theta) * (Dinv * r)
+    x = d if x is None else x + d
+    for _ in range(CHEB_DEGREE - 1):
+        r = r - stencil_matvec(L.A, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (Dinv * r)
+        x = x + d
+        rho = rho_new
+    return x
+
+
 def _vcycle(hier: GeoMgHierarchy, lvl: int, b):
     if lvl == len(hier.levels):
         B = b.shape[0]
@@ -215,14 +279,13 @@ def _vcycle(hier: GeoMgHierarchy, lvl: int, b):
         x = flat @ hier.coarse_pinv.T
         return x.reshape(B, hc, wc)
     L = hier.levels[lvl]
-    # pre-smooth (one weighted-Jacobi sweep from zero)
-    x = L.inv_diag[None] * b
+    x = _cheb_smooth(L, b, None)        # pre-smooth from zero
     r = b - stencil_matvec(L.A, x)
     xc = _vcycle(hier, lvl + 1, _restrict(r))
-    x = x + _prolong(xc, b.shape[1], b.shape[2])
-    # post-smooth
-    r = b - stencil_matvec(L.A, x)
-    x = x + L.inv_diag[None] * r
+    # piecewise-constant-prolongator MG underestimates the correction;
+    # a fixed over-correction factor restores grid-independent rates
+    x = x + hier.overcorrect * _prolong(xc, b.shape[1], b.shape[2])
+    x = _cheb_smooth(L, b, x)           # post-smooth
     return x
 
 
