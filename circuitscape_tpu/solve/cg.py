@@ -3,10 +3,12 @@
 This is the TPU re-design of the reference's hot loop: where
 src/core.jl:224-229 issues one Krylov.cg per focal pair, here ALL pair
 right-hand sides solve simultaneously as one (n, B) block iteration —
-every SpMV is a multi-RHS SpMM, every reduction a batched dot.  The
-whole loop is a single jitted lax.while_loop, so XLA fuses the SpMM,
-axpys and reductions into a handful of kernels; on a device mesh the
-batch axis shards trivially (parallel/mesh.py).
+every SpMV is a multi-RHS SpMM, every reduction a batched dot.
+
+The loop runs on device in bounded bursts (chunks) with a tiny host
+check between them — long single executions can trip runtime watchdogs
+on tunneled devices (see solve/stencil.py, same pattern) — while the
+full CG state stays device-resident.
 
 Semantics preserved from the reference: rtol 1e-6 against ||b||,
 itmax 100_000 (src/core.jl:639), caller checks the final 1e-4 residual
@@ -17,31 +19,89 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from .operators import EllMatrix, ell_matvec
 
 
-def _identity_prec(r):
-    return r
+def _make_apply_M(A, prec, prec_apply):
+    if prec_apply is None:
+        inv = jnp.where(A.diag != 0, 1.0 / A.diag, 1.0)
+        return lambda r: inv[:, None] * r
+    return lambda r: prec_apply(prec, r)
 
 
-@partial(jax.jit, static_argnames=("prec_apply", "itmax"))
+def _ell_cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec,
+                 prec_apply):
+    apply_M = _make_apply_M(A, prec, prec_apply)
+
+    def not_done(carry):
+        X, R, Z, P, rz, k, best, since = carry
+        resnorm = jnp.linalg.norm(R, axis=0)
+        return jnp.logical_and(
+            jnp.logical_and(jnp.logical_and(k < itmax, k < k_stop),
+                            since < 200),
+            jnp.any(resnorm > tol))
+
+    def body(carry):
+        X, R, Z, P, rz, k, best, since = carry
+        AP = ell_matvec(A, P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        # periodic true-residual replacement (van der Vorst)
+        R = jax.lax.cond(
+            (k + 1) % 64 == 0,
+            lambda: B - ell_matvec(A, X),
+            lambda: R)
+        Z = apply_M(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        P = Z + beta[None, :] * P
+        worst = jnp.max(jnp.linalg.norm(R, axis=0) / safe_bnorm)
+        improved = worst < best * 0.999
+        best = jnp.minimum(best, worst)
+        since = jnp.where(improved, 0, since + 1)
+        return (X, R, Z, P, rz_new, k + 1, best, since)
+
+    return jax.lax.while_loop(not_done, body, state)
+
+
+@partial(jax.jit, static_argnames=("prec_apply",))
+def _ell_cg_init(A, B, prec, prec_apply):
+    apply_M = _make_apply_M(A, prec, prec_apply)
+    R = B
+    Z = apply_M(R)
+    big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
+    return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=0),
+            jnp.asarray(0), big, jnp.asarray(0))
+
+
+@partial(jax.jit, static_argnames=("chunk", "prec_apply"))
+def _ell_cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax, prec,
+                  prec_apply):
+    k0 = state[5]
+    return _ell_cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax,
+                        prec, prec_apply)
+
+
 def cg_batched(A: EllMatrix, B: jnp.ndarray, prec,
-               prec_apply=None, rtol=1e-6, itmax=100_000):
-    """Solve A X = B for all columns at once.
+               prec_apply=None, rtol=1e-6, itmax=100_000, chunk=512):
+    """Solve A X = B for all columns at once (chunked device driver).
 
     A: EllMatrix (n_pad x n_pad), SPD (possibly near-singular graph
-       Laplacian with compatible RHS).
+    Laplacian with compatible RHS).
     B: (n_pad, nrhs) right-hand sides.
     prec: preconditioner state pytree (passed to prec_apply).
-    prec_apply: callable (prec, R) -> Z, static.  None = identity.
+    prec_apply: callable (prec, R) -> Z, static.  None = Jacobi.
 
     Returns (X, relres (nrhs,), iters).
     """
-    apply_M = prec_apply if prec_apply is not None else (lambda p, r: r)
-
+    B = jnp.asarray(B)
     bnorm = jnp.linalg.norm(B, axis=0)
     safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
     # floor the target at ~32 eps * ||b||: below that a finite-precision
@@ -50,36 +110,20 @@ def cg_batched(A: EllMatrix, B: jnp.ndarray, prec,
     eps_floor = 32 * jnp.finfo(B.dtype).eps
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
-    X0 = jnp.zeros_like(B)
-    R0 = B
-    Z0 = apply_M(prec, R0)
-    P0 = Z0
-    rz0 = jnp.sum(R0 * Z0, axis=0)
+    state = _ell_cg_init(A, B, prec, prec_apply)
+    while True:
+        state = _ell_cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
+                              prec, prec_apply)
+        k = int(state[5])
+        since = int(state[7])
+        resnorm = np.asarray(jnp.linalg.norm(state[1], axis=0))
+        if (k >= itmax or since >= 200 or
+                not np.any(resnorm > np.asarray(tol))):
+            break
 
-    def not_done(carry):
-        X, R, Z, P, rz, k = carry
-        resnorm = jnp.linalg.norm(R, axis=0)
-        return jnp.logical_and(k < itmax, jnp.any(resnorm > tol))
-
-    def body(carry):
-        X, R, Z, P, rz, k = carry
-        AP = ell_matvec(A, P)
-        pAp = jnp.sum(P * AP, axis=0)
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-        X = X + alpha[None, :] * P
-        R = R - alpha[None, :] * AP
-        Z = apply_M(prec, R)
-        rz_new = jnp.sum(R * Z, axis=0)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        P = Z + beta[None, :] * P
-        return (X, R, Z, P, rz_new, k + 1)
-
-    X, R, Z, P, rz, iters = jax.lax.while_loop(
-        not_done, body, (X0, R0, Z0, P0, rz0, 0))
-
-    # true residual (guards against drift in the recurrence)
+    X = state[0]
     relres = jnp.linalg.norm(B - ell_matvec(A, X), axis=0) / safe_bnorm
-    return X, relres, iters
+    return X, relres, state[5]
 
 
 def jacobi_prec(A: EllMatrix):
