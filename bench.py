@@ -89,13 +89,20 @@ def warmup(g):
                                            prec_apply=geomg_apply)
 
 
+def _note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import circuitscape_tpu as cs
     from circuitscape_tpu.config import parse_config
 
     with tempfile.TemporaryDirectory() as d:
         ini, g = make_inputs(d)
+        _note("bench: inputs ready")
+        t = time.perf_counter()
         warmup(g)
+        _note(f"bench: warmup done in {time.perf_counter()-t:.1f}s")
 
         cfg = parse_config(ini)
         cfg_dict = cfg.to_dict()
@@ -105,10 +112,12 @@ def main():
         # best of 2: the first run absorbs any residual one-time compile
         # or relay warmup; both runs are complete end-to-end jobs
         elapsed = float("inf")
-        for _ in range(2):
+        for run in range(2):
             t0 = time.perf_counter()
             r = cs.compute(cfg_dict)
-            elapsed = min(elapsed, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            _note(f"bench: run {run} took {dt:.2f}s")
+            elapsed = min(elapsed, dt)
 
         finite = r[1:, 1:][r[1:, 1:] > 0]
         assert finite.size > 0 and np.all(np.isfinite(finite)), \
