@@ -10,7 +10,6 @@ universal nodata value after read_raster normalization.
 from __future__ import annotations
 
 import io as _io
-import math
 from dataclasses import dataclass, field
 
 import numpy as np

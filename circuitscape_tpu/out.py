@@ -9,12 +9,12 @@ computation is vectorized over edge arrays instead of per-entry loops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
 
-from . import consts, cslog
+from . import consts
 from .io.raster import write_raster
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+
 
 import numpy as np
 import scipy.sparse as sp

@@ -106,7 +106,6 @@ def compute_omniscape_current(conductance: np.ndarray, source: np.ndarray,
     fg_sentinel = finitegrounds.size == 1 and finitegrounds[0] == -9999.0
 
     outcurr = alloc_map(hbmeta, dtype)
-    from .out import create_current_maps
 
     # Large moving windows take the batched device path (one stencil
     # solve for all components, currents computed on device).
