@@ -20,6 +20,7 @@ valid SPD preconditioner for CG.  Coarsest level: dense pseudo-inverse
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
@@ -130,8 +131,17 @@ def _planes_to_operator(we, ws, wse, wne, dtype) -> StencilOperator:
 
 
 def _estimate_lam_max(we, ws, wse, wne, iters=12) -> float:
-    """Host power-iteration estimate of rho(D^-1 A) for the Chebyshev
-    smoother interval (D^-1 A of a Laplacian is in (0, 2])."""
+    """Estimate of rho(D^-1 A) for the Chebyshev smoother interval.
+
+    For a graph Laplacian rho(D^-1 L) <= 2 (Gershgorin: off-diagonal
+    row sums equal the diagonal), so 2.0 is always a safe interval top;
+    measured CG iteration counts are identical to the power-iteration
+    estimate (lam in [1.5, 2.0] across the hierarchy).  Levels above
+    64k cells therefore skip the host power iteration — it cost more
+    wall-clock per job (12 full-grid host matvecs at the fine level)
+    than it ever saved in solve time."""
+    if we.size > 65536:
+        return 2.0
     from .stencil import StencilOperator as _S, stencil_matvec_np
     diag = np.zeros(we.shape)
     diag[:, :-1] += we[:, :-1]
@@ -156,6 +166,15 @@ def _estimate_lam_max(we, ws, wse, wne, iters=12) -> float:
         lam = nrm
         x = y / nrm
     return float(min(lam * 1.05, 2.0))
+
+
+def _sym_pinv(A: np.ndarray) -> np.ndarray:
+    """Pseudo-inverse of a symmetric PSD matrix via eigh — ~4x faster
+    than np.linalg.pinv's SVD at the coarse-solve sizes used here."""
+    w, V = np.linalg.eigh(A)
+    cutoff = max(A.shape) * np.finfo(A.dtype).eps * np.max(np.abs(w))
+    inv_w = np.where(w > cutoff, 1.0 / np.where(w == 0, 1.0, w), 0.0)
+    return (V * inv_w) @ V.T
 
 
 def _dense_laplacian(we, ws, wse, wne) -> np.ndarray:
@@ -184,15 +203,55 @@ def _dense_laplacian(we, ws, wse, wne) -> np.ndarray:
     return A
 
 
+def _np_diag(we, ws, wse, wne):
+    diag = np.zeros(we.shape)
+    diag[:, :-1] += we[:, :-1]
+    diag[:, 1:] += we[:, :-1]
+    diag[:-1, :] += ws[:-1, :]
+    diag[1:, :] += ws[:-1, :]
+    diag[:-1, :-1] += wse[:-1, :-1]
+    diag[1:, 1:] += wse[:-1, :-1]
+    diag[1:, :-1] += wne[1:, :-1]
+    diag[:-1, 1:] += wne[1:, :-1]
+    return diag
+
+
+@partial(jax.jit, static_argnames=("shapes", "lams", "coarse_shape",
+                                   "overcorrect"))
+def _unpack_hierarchy(flat, shapes, lams, coarse_shape, overcorrect):
+    """Slice ONE uploaded flat buffer into the hierarchy pytree in a
+    single device execution (the host link is high-latency; per-array
+    eager ops here used to cost more than the whole solve)."""
+    levels = []
+    off = 0
+
+    def take(shape):
+        nonlocal off
+        n = int(np.prod(shape))
+        a = jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(shape)
+        off += n
+        return a
+
+    for shape, lam in zip(shapes, lams):
+        arrs = [take(shape) for _ in range(6)]
+        levels.append(GeoMgLevel(StencilOperator(*arrs[:5]), arrs[5], lam))
+    n_c = coarse_shape[0] * coarse_shape[1]
+    pinv = take((n_c, n_c))
+    return GeoMgHierarchy(tuple(levels), pinv, coarse_shape, overcorrect)
+
+
 def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
-                 coarse_cells=1024, max_levels=12, planes_np=None,
+                 coarse_cells=256, max_levels=12, planes_np=None,
                  fine_op: StencilOperator = None) -> GeoMgHierarchy:
-    """Build the hierarchy (host numpy setup, device-resident result).
+    """Build the hierarchy: ALL setup is host numpy (coarsening is a
+    handful of reshape-sums), then the whole hierarchy crosses the host
+    link as ONE flat f32 upload + ONE unpack dispatch.  Level 0's
+    operator is the f32 fine operator — solvers reuse it instead of
+    casting a separate copy (fine_op is accepted for API compat but no
+    longer used).
 
     planes_np: optional host copies of the fine planes (avoids a
-    device->host download when the caller built them on host anyway).
-    fine_op: optional already-uploaded f32 fine operator to reuse as
-    level 0 (avoids re-uploading the largest level)."""
+    device->host download when the caller built them on host anyway)."""
     if planes_np is not None:
         we, ws, wse, wne = (np.asarray(p, np.float64) for p in planes_np[:4])
     else:
@@ -201,31 +260,32 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
         wse = np.asarray(S.wse, np.float64)
         wne = np.asarray(S.wne, np.float64)
 
-    levels = []
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    chunks, shapes, lams = [], [], []
     while (we.shape[0] * we.shape[1] > coarse_cells and
-           len(levels) < max_levels and min(we.shape) >= 2):
-        if not levels and fine_op is not None:
-            op = fine_op
-        else:
-            op = _planes_to_operator(we, ws, wse, wne, dtype)
-        inv = jnp.where(op.diag > 0,
-                        1.0 / jnp.where(op.diag == 0, 1.0, op.diag),
-                        0.0).astype(dtype)
-        lam = _estimate_lam_max(we, ws, wse, wne)
-        levels.append(GeoMgLevel(op, inv, lam))
+           len(shapes) < max_levels and min(we.shape) >= 2):
+        diag = _np_diag(we, ws, wse, wne)
+        inv = np.where(diag > 0,
+                       1.0 / np.where(diag == 0, 1.0, diag), 0.0)
+        for a in (we, ws, wse, wne, diag, inv):
+            chunks.append(np.asarray(a, np_dtype).ravel())
+        shapes.append(we.shape)
+        lams.append(_estimate_lam_max(we, ws, wse, wne))
         we, ws, wse, wne = _coarsen_planes(we, ws, wse, wne)
 
     dense = _dense_laplacian(we, ws, wse, wne)
     # benign identity on empty (all-inactive) coarse cells
     empty = dense.diagonal() == 0
     dense[empty, empty] = 1.0
-    pinv = np.linalg.pinv(dense)
+    pinv = _sym_pinv(dense)
+    chunks.append(np.asarray(pinv, np_dtype).ravel())
+    flat = jnp.asarray(np.concatenate(chunks))   # the ONE upload
     # The piecewise-constant 2x2 prolongator overestimates coarse
     # stiffness ~2x per direction; scaling the coarse correction by
     # ~1.9 restores near-grid-independent rates (25 -> 8 CG iterations
     # at 250k cells in the tuning sweep).
-    return GeoMgHierarchy(tuple(levels), jnp.asarray(pinv, dtype),
-                          we.shape, 1.9)
+    return _unpack_hierarchy(flat, tuple(shapes), tuple(lams),
+                             we.shape, 1.9)
 
 
 def _restrict(r):

@@ -63,6 +63,20 @@ class StencilOperator:
         return 2 * edges + int(np.count_nonzero(np.asarray(self.diag)))
 
 
+@jax.jit
+def _split_planes(stacked):
+    return StencilOperator(stacked[0], stacked[1], stacked[2],
+                           stacked[3], stacked[4])
+
+
+def upload_stencil(planes_np, dtype=jnp.float64) -> StencilOperator:
+    """Move 5 host planes to device as ONE stacked transfer + one split
+    dispatch (per-plane uploads pay 5x the host-link latency)."""
+    stacked = jnp.asarray(np.stack([np.asarray(p) for p in planes_np]),
+                          dtype)
+    return _split_planes(stacked)
+
+
 def _pad_plane(a: np.ndarray, H: int, W: int) -> np.ndarray:
     out = np.zeros((H, W), a.dtype)
     out[:a.shape[0], :a.shape[1]] = a
@@ -463,9 +477,11 @@ def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
     R = B
     total_iters = 0
     rel = np.full(nb, np.inf)
-    for _ in range(max_refine):
+    for pass_i in range(max_refine):
+        inner = rtol if pass_i == 0 else np.clip(
+            rtol / np.where(rel == 0, 1.0, rel), rtol, 0.05)
         dX, _, it = stencil_cg(A_lo, jnp.asarray(R, jnp.float32),
-                               rtol, itmax=itmax, prec=prec,
+                               inner, itmax=itmax, prec=prec,
                                prec_apply=prec_apply)
         X = X + np.asarray(dX, np.float64)
         R = B - stencil_matvec_np(A_hi, X)
@@ -501,6 +517,55 @@ def _extract_point_voltages(X, src_cells, point_cells):
     return Vp, vsrc
 
 
+@partial(jax.jit, static_argnames=("prec_apply", "itmax"))
+def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
+                       rtol, itmax):
+    """The WHOLE mixed-precision pair solve as one device execution:
+    RHS scatter, f32 MG-CG to rtol, f64 true residual, one refinement
+    pass at the SAME ABSOLUTE tolerance (so the touch-up solve stops
+    after the 1-3 iterations it actually needs), final f64 residuals,
+    and focal-voltage extraction — the host link sees one dispatch and
+    one small packed fetch.  (Per-roundtrip latency on a remote-tunnel
+    TPU is ~40ms; the ~25 roundtrips this replaces used to dominate
+    the 1M-cell job.)"""
+    b_pad = sc.shape[0]
+    H, W = S64.shape
+    B64 = _pairs_rhs(sc, dc, H, W, b_pad)
+    # padded columns (src == dst) scatter to net-zero RHS already
+    bnorm = jnp.sqrt(jnp.sum(B64 * B64, axis=(-2, -1)))
+    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    tol64 = rtol * bnorm                       # absolute target, f64
+
+    # bound each while_loop so one dispatch can't run unboundedly long
+    # on a pathological problem (the chunked driver handles the rest)
+    kcap = min(itmax, 2000)
+
+    def one_pass(R64):
+        R32 = R64.astype(jnp.float32)
+        tol32 = jnp.maximum(tol64, 32 * jnp.finfo(jnp.float32).eps *
+                            jnp.sqrt(jnp.sum(R32 * R32, axis=(-2, -1)))
+                            ).astype(jnp.float32)
+        st = _cg_state_init(A_lo, R32, prec, prec_apply)
+        st = _cg_loop(A_lo, R32, st, tol32,
+                      safe_bnorm.astype(jnp.float32), kcap, kcap,
+                      prec, prec_apply)
+        return st[0].astype(jnp.float64), st[5]
+
+    dX, it1 = one_pass(B64)
+    X = dX
+    R = B64 - stencil_matvec(S64, X)
+    dX, it2 = one_pass(R)
+    X = X + dX
+    R = B64 - stencil_matvec(S64, X)
+    rel = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
+    Vp, _ = _extract_point_voltages(X, sc, point_cells)
+    # one packed fetch: [rel (b_pad) | iters (1) | Vp (b_pad*npts)]
+    packed = jnp.concatenate([
+        rel, (it1 + it2).astype(jnp.float64)[None],
+        Vp.astype(jnp.float64).ravel()])
+    return X, packed
+
+
 def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
                         dst_cells: np.ndarray, rtol=1e-6, itmax=100_000,
                         prec=None, prec_apply=None, max_refine=4):
@@ -514,42 +579,77 @@ def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
 
     Returns (X (f64 device array, (b_pad, H, W)), rel (np, nb), iters).
     """
+    nb = src_cells.shape[0]
+    X, _, rel, iters = _fused_pair_solve(
+        S64, src_cells, dst_cells, np.zeros((1, 2), np.int64),
+        rtol, itmax, prec, prec_apply, max_refine)
+    return X, rel[:nb], iters
+
+
+def stencil_solve_pairs_points(S64: StencilOperator, src_cells, dst_cells,
+                               point_cells, rtol=1e-6, itmax=100_000,
+                               prec=None, prec_apply=None, max_refine=4):
+    """Pair solve + focal-voltage extraction in one device roundtrip.
+
+    Returns (X (f64 device, (b_pad, H, W)), Vp (np, (nb, npts)) —
+    src-normalized voltages at point_cells, rel (np, nb), iters)."""
+    nb = src_cells.shape[0]
+    X, Vp, rel, iters = _fused_pair_solve(
+        S64, src_cells, dst_cells, point_cells, rtol, itmax, prec,
+        prec_apply, max_refine)
+    return X, Vp[:nb], rel[:nb], iters
+
+
+def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
+                      prec, prec_apply, max_refine):
+    """Single-dispatch fused solve with a chunked-driver fallback for
+    the (rare) case two refinement passes don't reach rtol."""
     H, W = S64.shape
     nb = src_cells.shape[0]
     b_pad = 1 << max(0, nb - 1).bit_length()
-    sc = jnp.asarray(src_cells, jnp.int32)
-    dc = jnp.asarray(dst_cells, jnp.int32)
-    if b_pad != nb:
-        pad = jnp.zeros((b_pad - nb, 2), jnp.int32)
-        sc_p = jnp.concatenate([sc, pad])
-        dc_p = jnp.concatenate([dc, pad])
-        # padded columns: src == dst == (0,0) -> rhs column is all zero
-        B = _pairs_rhs(sc_p, dc_p, H, W, b_pad)
-        B = B.at[nb:].set(0.0)
+    sc_np = np.zeros((b_pad, 2), np.int32)
+    dc_np = np.zeros((b_pad, 2), np.int32)
+    sc_np[:nb] = src_cells
+    dc_np[:nb] = dst_cells
+    # padded columns: src == dst == (0,0) -> the ±1 scatter cancels and
+    # the RHS column is exactly zero (rel = 0, never gates convergence)
+    sc = jnp.asarray(sc_np)
+    dc = jnp.asarray(dc_np)
+    pc = jnp.asarray(np.asarray(point_cells), jnp.int32)
+    npts = pc.shape[0]
+    if prec is not None and getattr(prec, "levels", ()):
+        A_lo = prec.levels[0].A   # the hierarchy's fine level IS f32 A
     else:
+        A_lo = _to_dtype(S64, jnp.float32)
+
+    X, packed = _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc,
+                                   pc, rtol, itmax)
+    packed = np.asarray(packed)   # the one fetch
+    rel = packed[:b_pad]
+    total_iters = int(packed[b_pad])
+    Vp = packed[b_pad + 1:].reshape(b_pad, npts)
+
+    if not np.all(rel[:nb] <= rtol) and max_refine > 2:
         B = _pairs_rhs(sc, dc, H, W, b_pad)
-
-    A_lo = _to_dtype(S64, jnp.float32)
-
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
-    safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
-
-    matvec64 = jax.jit(stencil_matvec)
-    X = jnp.zeros_like(B)
-    R = B
-    total_iters = 0
-    rel = np.full(b_pad, np.inf)
-    for _ in range(max_refine):
-        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), rtol,
-                               itmax=itmax, prec=prec, prec_apply=prec_apply)
-        X = X + dX.astype(jnp.float64)
+        bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
+        safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
+        matvec64 = jax.jit(stencil_matvec)
         R = B - matvec64(S64, X)
-        rel = np.asarray(
-            jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
-        total_iters += int(it)
-        if np.all(rel[:nb] <= rtol):
-            break
-    return X, rel[:nb], total_iters
+        for _ in range(max_refine - 2):
+            inner = np.clip(rtol / np.where(rel == 0, 1.0, rel),
+                            rtol, 0.05)
+            dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
+                                   itmax=itmax, prec=prec,
+                                   prec_apply=prec_apply)
+            X = X + dX.astype(jnp.float64)
+            R = B - matvec64(S64, X)
+            rel = np.asarray(
+                jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
+            total_iters += int(it)
+            if np.all(rel[:nb] <= rtol):
+                break
+        Vp = np.asarray(_extract_point_voltages(X, sc, pc)[0])
+    return X, Vp, rel, total_iters
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
@@ -601,8 +701,10 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
     total_iters = 0
     nb = B_rhs.shape[0]
     rel = np.full(nb, np.inf)
-    for _ in range(max_refine):
-        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), rtol,
+    for pass_i in range(max_refine):
+        inner = rtol if pass_i == 0 else np.clip(
+            rtol / np.where(rel == 0, 1.0, rel), rtol, 0.05)
+        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                itmax=itmax, prec=prec,
                                prec_apply=prec_apply, pen=pen32)
         X = X + dX.astype(jnp.float64)
