@@ -117,7 +117,14 @@ class DirectContext:
         try:
             from .native_chol import NativeCholesky
             self._native = NativeCholesky(shifted)
-        except Exception:
+        except Exception as e:
+            import os
+            if os.environ.get("CS_REQUIRE_NATIVE"):
+                raise RuntimeError(
+                    "native Cholesky backend unavailable and "
+                    f"CS_REQUIRE_NATIVE is set: {e}") from e
+            cslog.warn("native Cholesky backend unavailable (%s); "
+                       "falling back to scipy SuperLU", e)
             self._lu = spla.splu(shifted.tocsc().astype(np.float64))
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:

@@ -223,6 +223,14 @@ def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+_stencil_matvec_jit = jax.jit(stencil_matvec)
+
+
+@jax.jit
+def _penalized_matvec_jit(A, x, pen):
+    return stencil_matvec(A, x) + pen * x
+
+
 def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
                           cutoff=1e-8) -> jnp.ndarray:
     """Node current maps from voltage blocks, on device.
@@ -311,6 +319,9 @@ def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
     return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
             jnp.asarray(0), big, jnp.asarray(0))
+
+
+_cg_state_init_jit = jax.jit(_cg_state_init, static_argnames=("prec_apply",))
 
 
 def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
@@ -411,8 +422,7 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     eps_floor = 32 * jnp.finfo(jnp.asarray(B).dtype).eps
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
-    state = jax.jit(_cg_state_init, static_argnames=("prec_apply",))(
-        A, B, prec, prec_apply, pen)
+    state = _cg_state_init_jit(A, B, prec, prec_apply, pen)
     while True:
         state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
                           prec, prec_apply, pen)
@@ -446,50 +456,6 @@ def stencil_matvec_np(A: StencilOperator, x: np.ndarray) -> np.ndarray:
     y[:, 1:, :-1] -= wne[None, 1:, :-1] * x[:, :-1, 1:]
     y[:, :-1, 1:] -= wne[None, 1:, :-1] * x[:, 1:, :-1]
     return y
-
-
-def stencil_solve_mixed(A_hi: StencilOperator, B: np.ndarray, rtol=1e-6,
-                        itmax=100_000, max_refine=4, use_mg=None):
-    """Mixed-precision solve with HOST-side refinement.
-
-    Inner iterations: f32 stencil CG on device (full HBM bandwidth —
-    v5e has no native f64, and emulated-f64 device loops are both slow
-    and fragile).  Outer loop: numpy f64 true residuals + iterative
-    refinement, so the returned solution satisfies the true rtol.
-
-    Returns (X (np.float64), relres (nrhs,), total_iters).
-    """
-    A_lo = _to_dtype(A_hi, jnp.float32)
-    ncells = A_lo.shape[0] * A_lo.shape[1]
-    if use_mg is None:
-        use_mg = ncells > 4096
-    prec = prec_apply = None
-    if use_mg:
-        from .geomg import build_geo_mg, geomg_apply
-        prec = build_geo_mg(A_hi, jnp.float32)
-        prec_apply = geomg_apply
-    B = np.asarray(B, np.float64)
-    nb = B.shape[0]
-    bnorm = np.linalg.norm(B.reshape(nb, -1), axis=1)
-    safe_bnorm = np.where(bnorm == 0, 1.0, bnorm)
-
-    X = np.zeros_like(B)
-    R = B
-    total_iters = 0
-    rel = np.full(nb, np.inf)
-    for pass_i in range(max_refine):
-        inner = rtol if pass_i == 0 else np.clip(
-            rtol / np.where(rel == 0, 1.0, rel), rtol, 0.05)
-        dX, _, it = stencil_cg(A_lo, jnp.asarray(R, jnp.float32),
-                               inner, itmax=itmax, prec=prec,
-                               prec_apply=prec_apply)
-        X = X + np.asarray(dX, np.float64)
-        R = B - stencil_matvec_np(A_hi, X)
-        rel = np.linalg.norm(R.reshape(nb, -1), axis=1) / safe_bnorm
-        total_iters += int(it)
-        if np.all(rel <= rtol):
-            break
-    return X, rel, total_iters
 
 
 @partial(jax.jit, static_argnames=("H", "W", "b_pad"))
@@ -633,8 +599,7 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
         B = _pairs_rhs(sc, dc, H, W, b_pad)
         bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
         safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
-        matvec64 = jax.jit(stencil_matvec)
-        R = B - matvec64(S64, X)
+        R = B - _stencil_matvec_jit(S64, X)
         for _ in range(max_refine - 2):
             inner = np.clip(rtol / np.where(rel == 0, 1.0, rel),
                             rtol, 0.05)
@@ -642,7 +607,7 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
                                    itmax=itmax, prec=prec,
                                    prec_apply=prec_apply)
             X = X + dX.astype(jnp.float64)
-            R = B - matvec64(S64, X)
+            R = B - _stencil_matvec_jit(S64, X)
             rel = np.asarray(
                 jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
             total_iters += int(it)
@@ -692,10 +657,6 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
     bnorm = jnp.sqrt(jnp.sum(B_rhs * B_rhs, axis=(-2, -1)))
     safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
 
-    def matvec64(S, X, pen):
-        return stencil_matvec(S, X) + pen * X
-
-    mv64 = jax.jit(matvec64)
     X = jnp.zeros_like(B_rhs)
     R = B_rhs
     total_iters = 0
@@ -708,7 +669,7 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
                                itmax=itmax, prec=prec,
                                prec_apply=prec_apply, pen=pen32)
         X = X + dX.astype(jnp.float64)
-        R = B_rhs - mv64(S64, X, pen64)
+        R = B_rhs - _penalized_matvec_jit(S64, X, pen64)
         rel = np.asarray(
             jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
         total_iters += int(it)
@@ -728,41 +689,3 @@ def advanced_ground_penalty(S64: StencilOperator) -> float:
 def _to_dtype(A: StencilOperator, dtype) -> StencilOperator:
     return StencilOperator(*(p.astype(dtype) for p in
                              (A.we, A.ws, A.wse, A.wne, A.diag)))
-
-
-@partial(jax.jit, static_argnames=("itmax", "max_refine"))
-def stencil_solve(A_hi: StencilOperator, B: jnp.ndarray, rtol=1e-6,
-                  itmax=100_000, max_refine=4):
-    """Mixed-precision solve: f32 CG inner iterations (full HBM
-    bandwidth on TPU), f64 outer residuals + iterative refinement so
-    the TRUE relative residual reaches rtol despite the f32 stall
-    floor.  A_hi/B are float64; the work operator is an f32 copy.
-
-    Returns (X (f64), relres (nrhs,), total_iters).
-    """
-    A_lo = _to_dtype(A_hi, jnp.float32)
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
-    safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
-
-    def true_relres(X):
-        R = B - stencil_matvec(A_hi, X)
-        return R, jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
-
-    X0 = jnp.zeros_like(B)
-    R0 = B
-
-    def cond(carry):
-        X, R, rel, iters, rounds = carry
-        return jnp.logical_and(rounds < max_refine, jnp.any(rel > rtol))
-
-    def body(carry):
-        X, R, rel, iters, rounds = carry
-        dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), rtol, itmax)
-        X = X + dX.astype(jnp.float64)
-        R, rel = true_relres(X)
-        return (X, R, rel, iters + it, rounds + 1)
-
-    big = jnp.full(B.shape[-1], jnp.inf)
-    X, R, rel, iters, rounds = jax.lax.while_loop(
-        cond, body, (X0, R0, big, 0, 0))
-    return X, rel, iters

@@ -1,0 +1,58 @@
+"""Native C++ Cholesky tier: loud-failure guarantee + correctness.
+
+VERDICT r1 item 5: the direct tier used to fall back to scipy silently;
+CS_REQUIRE_NATIVE=1 must now make an unavailable native backend a hard
+error, and the default build must actually load the native library.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from circuitscape_tpu.solve.dispatch import DirectContext
+
+
+def _grid_laplacian(n_side, seed=0):
+    rng = np.random.default_rng(seed)
+    n = n_side * n_side
+    rows, cols, vals = [], [], []
+    for i in range(n_side):
+        for j in range(n_side):
+            a = i * n_side + j
+            for di, dj in ((0, 1), (1, 0)):
+                bi, bj = i + di, j + dj
+                if bi < n_side and bj < n_side:
+                    b = bi * n_side + bj
+                    w = rng.uniform(0.5, 3.0)
+                    rows += [a, b, a, b]
+                    cols += [b, a, a, b]
+                    vals += [-w, -w, w, w]
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+def test_native_backend_loads(monkeypatch):
+    """With CS_REQUIRE_NATIVE set, DirectContext must use the native
+    library (no silent scipy fallback)."""
+    monkeypatch.setenv("CS_REQUIRE_NATIVE", "1")
+    G = _grid_laplacian(12)
+    ctx = DirectContext(G, np.float64)
+    assert ctx._native is not None
+
+
+def test_native_multi_rhs_matches_scipy():
+    G = _grid_laplacian(16, seed=3)
+    ctx = DirectContext(G, np.float64)
+    n = G.shape[0]
+    rng = np.random.default_rng(1)
+    rhs = np.zeros((n, 5))
+    for c in range(5):
+        i, j = rng.integers(0, n, 2)
+        rhs[i, c] += 1.0
+        rhs[j, c] -= 1.0
+    x = ctx.solve(rhs)
+    eps = np.finfo(np.float64).eps
+    shifted = G + sp.identity(n) * (10 * eps)
+    ref = sp.linalg.spsolve(shifted.tocsc(), rhs)
+    # the near-singular shift leaves the constant mode ill-determined;
+    # voltages are only meaningful relative to a reference node
+    assert np.allclose(x - x[0], ref - ref[0], atol=1e-8)
