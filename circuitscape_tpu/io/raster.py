@@ -103,8 +103,115 @@ def _read_aagrid(data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# TIFF (GeoTIFF profile: single band, strip organized, compression none)
+# TIFF (GeoTIFF profile: single band; strip or tile organized; compression
+# none/LZW/Deflate/PackBits; horizontal + floating-point predictors) —
+# covers what GDAL itself emits, including the reference's COMPRESS=LZW
+# outputs (src/out.jl:499)
 # ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, early code-width change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    width = 9
+    table = []
+    prev = b""
+
+    def read_code(w):
+        nonlocal bitpos
+        if bitpos + w > nbits:
+            return EOI
+        byte0 = bitpos >> 3
+        window = data[byte0:byte0 + 4].ljust(4, b"\x00")
+        val = int.from_bytes(window, "big")
+        val >>= 32 - (bitpos & 7) - w
+        bitpos += w
+        return val & ((1 << w) - 1)
+
+    while True:
+        code = read_code(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = read_code(width)
+            if code == EOI:
+                break
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp == 5:
+        return _lzw_decode(raw)
+    if comp in (8, 32946):  # Adobe Deflate / legacy Deflate
+        import zlib
+        return zlib.decompress(raw)
+    if comp == 32773:
+        return _packbits_decode(raw)
+    raise ValueError(f"Unsupported TIFF compression {comp}")
+
+
+def _decode_block(raw: bytes, rows: int, cols: int, dtype: np.dtype,
+                  predictor: int) -> np.ndarray:
+    """Raw (decompressed) block bytes -> (rows, cols) array, undoing the
+    TIFF predictor.  Predictor 2 = horizontal differencing on samples;
+    predictor 3 = floating-point predictor (byte deltas, then MSB-first
+    byte planes deinterleaved per row)."""
+    bpp = dtype.itemsize
+    want = rows * cols * bpp
+    if len(raw) < want:
+        raw = raw + b"\x00" * (want - len(raw))
+    if predictor == 3:
+        rowbytes = np.frombuffer(raw[:want], np.uint8).reshape(
+            rows, cols * bpp)
+        rowbytes = np.cumsum(rowbytes, axis=1, dtype=np.uint8)
+        planes = rowbytes.reshape(rows, bpp, cols)
+        interleaved = np.ascontiguousarray(planes.transpose(0, 2, 1))
+        be = np.dtype(f">{dtype.kind}{bpp}")
+        return interleaved.reshape(rows, cols * bpp).view(be).astype(
+            dtype.newbyteorder("="))
+    block = np.frombuffer(raw[:want], dtype).reshape(rows, cols)
+    if predictor == 2:
+        block = np.cumsum(block, axis=1, dtype=block.dtype)
+    return block
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                    10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
@@ -149,19 +256,38 @@ def _read_tiff(data: bytes):
     comp = int(tags.get(259, [1])[0])
     sfmt = int(tags.get(339, [1])[0])
     samples = int(tags.get(277, [1])[0])
+    predictor = int(tags.get(317, [1])[0])
     if samples != 1:
         raise ValueError("Only single-band rasters are supported")
-    if comp != 1:
-        raise ValueError(f"Unsupported TIFF compression {comp}")
 
     kind = {1: "u", 2: "i", 3: "f"}[sfmt]
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
-    offsets = tags[273]
-    counts = tags[279]
-    raw = b"".join(data[int(o):int(o) + int(c)] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(raw, dtype=dtype, count=width * height)
-    arr = arr.reshape(height, width)
+    if 322 in tags:  # tile-organized
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        offsets = tags[324]
+        counts = tags[325]
+        arr = np.zeros((height, width), dtype.newbyteorder("="))
+        tiles_across = -(-width // tw)
+        for k, (o, c) in enumerate(zip(offsets, counts)):
+            raw = _decompress(data[int(o):int(o) + int(c)], comp)
+            tile = _decode_block(raw, th, tw, dtype, predictor)
+            ti, tj = divmod(k, tiles_across)
+            r0, c0 = ti * th, tj * tw
+            arr[r0:r0 + th, c0:c0 + tw] = tile[:height - r0, :width - c0]
+    else:            # strip-organized
+        rps = int(tags.get(278, [height])[0])
+        offsets = tags[273]
+        counts = tags[279]
+        parts = []
+        row = 0
+        for o, c in zip(offsets, counts):
+            rows = min(rps, height - row)
+            raw = _decompress(data[int(o):int(o) + int(c)], comp)
+            parts.append(_decode_block(raw, rows, width, dtype, predictor))
+            row += rows
+        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     nodata = None
     if 42113 in tags:
@@ -263,11 +389,18 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
 
 
 def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
-               nodata=-9999.0):
-    """Write a minimal single-band float64 GeoTIFF (uncompressed strips)."""
+               nodata=-9999.0, compress: str = "deflate"):
+    """Write a single-band float64 GeoTIFF (one strip; Deflate-compressed
+    by default, mirroring the reference's compressed outputs,
+    src/out.jl:499)."""
     arr = np.ascontiguousarray(arr, dtype="<f8")
     nrows, ncols = arr.shape
     pix = arr.tobytes()
+    comp_tag = 1
+    if compress == "deflate":
+        import zlib
+        pix = zlib.compress(pix, 6)
+        comp_tag = 8
 
     nodata_ascii = (repr(float(nodata)) + "\x00").encode()
     scale = struct.pack("<3d", transform[1], -transform[5], 0.0)
@@ -296,7 +429,7 @@ def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
     add(256, 3, 1, struct.pack("<HH", ncols, 0))
     add(257, 3, 1, struct.pack("<HH", nrows, 0))
     add(258, 3, 1, struct.pack("<HH", 64, 0))
-    add(259, 3, 1, struct.pack("<HH", 1, 0))       # no compression
+    add(259, 3, 1, struct.pack("<HH", comp_tag, 0))
     add(262, 3, 1, struct.pack("<HH", 1, 0))       # BlackIsZero
     # strip offsets resolved after blobs are placed
     add(273, 4, 1, b"\x00\x00\x00\x00")

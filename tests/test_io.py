@@ -39,6 +39,64 @@ def test_tiff_round_trip(tmp_path):
     assert meta.nrows == 4 and meta.ncols == 5
 
 
+@pytest.mark.parametrize("compression", ["tiff_lzw", "tiff_adobe_deflate",
+                                         "packbits"])
+def test_compressed_tiff_read(tmp_path, compression):
+    """GDAL-produced rasters are compressed (the reference writes
+    COMPRESS=LZW, src/out.jl:499); the native reader must accept them.
+    Pillow is an independent encoder, so this is a cross-implementation
+    check of the LZW/Deflate/PackBits strip decoders."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    arr = rng.uniform(0.0, 100.0, (37, 23)).astype(np.float32)
+    arr[3, 4] = -9999.0
+    p = str(tmp_path / f"{compression}.tif")
+    Image.fromarray(arr).save(p, compression=compression)
+    back, _, _ = read_raster(p)
+    expect = arr.astype(np.float64)
+    expect[3, 4] = consts.NODATA
+    assert np.allclose(back, expect)
+
+
+def test_compressed_tiff_multistrip_predictor2(tmp_path):
+    """Multi-strip LZW with horizontal differencing (predictor=2)."""
+    from PIL import Image, TiffImagePlugin
+
+    arr = (np.arange(64 * 48).reshape(64, 48) % 251).astype(np.uint8)
+    p = str(tmp_path / "pred2.tif")
+    with TiffImagePlugin.AppendingTiffWriter(p, True) as tf:
+        im = Image.fromarray(arr)
+        im.encoderinfo = {}
+        im.save(tf, format="TIFF", compression="tiff_lzw",
+                tiffinfo={317: 2})
+    back, _, _ = read_raster(p)
+    assert np.array_equal(back.astype(np.uint8), arr)
+
+
+def test_deflate_tiff_write_round_trip(tmp_path):
+    """Our own default TIFF output is Deflate-compressed and must
+    round-trip exactly (PIL cannot cross-check: it has no 64-bit float
+    TIFF support)."""
+    arr = np.arange(30, dtype=np.float64).reshape(5, 6) * 0.25
+    transform = (1.0, 2.0, 0.0, 10.0, 0.0, -2.0)
+    p = str(tmp_path / "d.tif")
+    write_tiff(p, arr, transform)  # default compress="deflate"
+    back, _, tr = read_raster(p)
+    assert np.allclose(back, arr) and tr[1] == 2.0
+    # confirm it really is deflate-tagged (tag 259 == 8), not store
+    import struct
+    raw = open(p, "rb").read()
+    ifd = struct.unpack("<I", raw[4:8])[0]
+    n = struct.unpack("<H", raw[ifd:ifd + 2])[0]
+    tags = {}
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack("<HHI", raw[e:e + 8])
+        tags[tag] = struct.unpack("<HH", raw[e + 8:e + 12])[0]
+    assert tags[259] == 8
+
+
 def test_gzip_transparent(tmp_path):
     arr = np.ones((3, 3))
     p = str(tmp_path / "a.asc")
