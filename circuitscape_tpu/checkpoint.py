@@ -31,9 +31,12 @@ class Checkpoint:
     def enabled(self) -> bool:
         return bool(self.path)
 
-    def load(self, resistances: np.ndarray, cum) -> set:
+    def load(self, resistances: np.ndarray, cum,
+             voltmatrix: np.ndarray = None) -> set:
         """Restore state in place; returns the set of completed pair
-        keys ((c_i, c_j) index tuples)."""
+        keys ((c_i, c_j) index tuples).  voltmatrix: the shortcut-mode
+        normalized-voltage matrix (needed to reconstruct non-anchor
+        resistances on resume, src/core.jl:685-739 semantics)."""
         if not self.enabled or not os.path.exists(self.path):
             return set()
         try:
@@ -46,6 +49,9 @@ class Checkpoint:
                        self.path)
             return set()
         resistances[:] = data["resistances"]
+        if voltmatrix is not None and "voltmatrix" in data and \
+                data["voltmatrix"].shape == voltmatrix.shape:
+            voltmatrix[:] = data["voltmatrix"]
         if cum is not None:
             if cum.cum_curr.size and "cum_curr" in data and \
                     data["cum_curr"].shape == cum.cum_curr.shape:
@@ -62,13 +68,16 @@ class Checkpoint:
                    len(self.done), self.path)
         return self.done
 
-    def save(self, resistances: np.ndarray, cum) -> None:
+    def save(self, resistances: np.ndarray, cum,
+             voltmatrix: np.ndarray = None) -> None:
         if not self.enabled:
             return
         payload = {
             "resistances": resistances,
             "done_pairs": np.asarray(sorted(self.done), np.int64).reshape(-1, 2),
         }
+        if voltmatrix is not None:
+            payload["voltmatrix"] = voltmatrix
         if cum is not None:
             if cum.cum_curr.size:
                 payload["cum_curr"] = cum.cum_curr

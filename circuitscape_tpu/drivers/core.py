@@ -115,7 +115,7 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
     shortcut_res = -np.ones((numpoints, numpoints), dtype)
 
     ckpt = Checkpoint(getattr(cfg, "checkpoint_file", ""))
-    done_pairs = ckpt.load(resistances, cum)
+    done_pairs = ckpt.load(resistances, cum, voltmatrix)
 
     get_shortcut = (flags.is_raster and not of.write_volt_maps and
                     not of.write_cur_maps and not of.write_cum_cur_map_only and
@@ -136,7 +136,8 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                   prob.nodemap.size > 0)
     if stencil_ok and get_shortcut:
         _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
-                                shortcut_res, dtype)
+                                shortcut_res, dtype, ckpt, done_pairs)
+        ckpt.finish()
         resistances = shortcut_res
         np.fill_diagonal(resistances, 0)
         op = np.asarray(orig_pts, dtype)
@@ -241,7 +242,7 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                                                       shortcut_res),
                                             cfg, cum)
                         ckpt.mark(combos)
-                    ckpt.save(resistances, cum)
+                    ckpt.save(resistances, cum, voltmatrix)
 
         if get_shortcut and csub:
             anchor_candidates = np.nonzero(points == csub[0])[0]
@@ -305,8 +306,14 @@ def postprocess(output: _Output, component_data, flags, shortcut, cfg, cum):
                            np.asarray([-9999.0]), flags, cfg, cum)
 
 
+# device-chunk upper bound for the shortcut path (tests shrink this to
+# force multi-chunk runs on tiny grids)
+_shortcut_chunk_cap = 4096
+
+
 def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
-                            shortcut_res, dtype):
+                            shortcut_res, dtype, ckpt=None,
+                            done_pairs=None):
     """Shortcut-mode pairwise resistances via the grid stencil operator.
 
     Solves the N-1 anchor pairs of EVERY connected component in one
@@ -364,6 +371,12 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
         anchor = int(src_indices[0])
         jobs.append((comp, anchor))
         for dst_node in csub[1:]:
+            if done_pairs:
+                dst_indices = np.nonzero(points == dst_node)[0]
+                combos = [(int(ci), int(cj)) for ci in src_indices
+                          for cj in dst_indices]
+                if combos and all(c in done_pairs for c in combos):
+                    continue  # resumed: resistances+voltmatrix restored
             pair_cols.append((node_cell[src_node], node_cell[dst_node]))
             col_meta.append((comp_id, src_node, dst_node, comp, anchor))
 
@@ -371,7 +384,7 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
         nb = len(pair_cols)
         # memory cap: ~8 live f64 (B, H, W) blocks under ~4 GiB
         per_col = H * W * 8 * 8
-        step = max(1, min(4096, (4 << 30) // max(per_col, 1)))
+        step = max(1, min(_shortcut_chunk_cap, (4 << 30) // max(per_col, 1)))
         for s0 in range(0, nb, step):
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
@@ -412,6 +425,11 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                         sel = in_comp.copy()
                         sel[0] = False  # row 0 never filled (reference)
                         voltmatrix[sel, c_j] = volt_col[sel]
+                if ckpt is not None and ckpt.enabled:
+                    ckpt.mark([(int(ci), int(cj)) for ci in src_indices
+                               for cj in dst_indices])
+            if ckpt is not None:
+                ckpt.save(resistances, None, voltmatrix)
 
     for comp, anchor in jobs:
         update_shortcut_resistances(anchor,

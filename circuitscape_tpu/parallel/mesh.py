@@ -13,6 +13,7 @@ collectives (the scaling-book recipe).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -22,6 +23,50 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solve.stencil import StencilOperator, stencil_cg_device
+
+# Grids below this many cells stay single-device by default: at small
+# sizes the halo-exchange latency exceeds the per-chip compute saved
+# (override with CS_MESH_MIN_CELLS / force with CS_FORCE_MESH=1).
+MESH_MIN_CELLS = 65536
+
+_MESH_CACHE: dict = {}
+
+
+def active_mesh(ncells: int | None = None) -> Mesh | None:
+    """The production mesh, or None for single-device execution.
+
+    Auto-enables when more than one accelerator device is visible —
+    the TPU answer to the reference's thread pool (src/core.jl:268-272):
+    grid rows shard over 'nodes' (stencil halo exchange over ICI), the
+    RHS batch over 'batch' (independent pair solves)."""
+    if os.environ.get("CS_DISABLE_MESH"):
+        return None
+    try:
+        n = len(jax.devices())
+    except Exception:
+        return None
+    if n < 2:
+        return None
+    if not os.environ.get("CS_FORCE_MESH"):
+        min_cells = int(os.environ.get("CS_MESH_MIN_CELLS",
+                                       str(MESH_MIN_CELLS)))
+        if ncells is not None and ncells < min_cells:
+            return None
+    if n not in _MESH_CACHE:
+        _MESH_CACHE[n] = make_mesh(n)
+    return _MESH_CACHE[n]
+
+
+def mesh_of(arr) -> Mesh | None:
+    """Recover the mesh an array was sharded over (None when the array
+    is unsharded/single-device).  Lets the solve layer make the
+    batch-sharding decision consistent with how the operator was
+    placed, with no extra plumbing."""
+    sh = getattr(arr, "sharding", None)
+    if isinstance(sh, NamedSharding) and sh.mesh.size > 1 and \
+            "nodes" in sh.mesh.axis_names:
+        return sh.mesh
+    return None
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -53,6 +98,30 @@ def shard_rhs(mesh: Mesh, B: jnp.ndarray) -> jnp.ndarray:
     """RHS blocks (nrhs, H, W): pairs over 'batch', grid rows over
     'nodes'."""
     return jax.device_put(B, NamedSharding(mesh, P("batch", "nodes", None)))
+
+
+def shard_hierarchy(mesh: Mesh, hier):
+    """Place a geo-MG hierarchy on the mesh: fine levels whose row count
+    divides evenly (and is worth splitting) shard over 'nodes'; coarse
+    levels and the dense coarse pseudo-inverse replicate.  Replicating
+    the small levels keeps the V-cycle's coarse work collective-free
+    (the scaling-book recipe: shard where the bytes are)."""
+    from ..solve.geomg import GeoMgHierarchy, GeoMgLevel
+
+    rows = mesh.shape["nodes"]
+    sh_rows = NamedSharding(mesh, P("nodes", None))
+    rep = NamedSharding(mesh, P())
+    levels = []
+    for L in hier.levels:
+        H = L.A.diag.shape[0]
+        sh = sh_rows if (H % rows == 0 and H // rows >= 8) else rep
+        A = StencilOperator(*(jax.device_put(p, sh) for p in
+                              (L.A.we, L.A.ws, L.A.wse, L.A.wne, L.A.diag)))
+        levels.append(GeoMgLevel(A, jax.device_put(L.inv_diag, sh),
+                                 L.lam_max))
+    pinv = jax.device_put(hier.coarse_pinv, rep)
+    return GeoMgHierarchy(tuple(levels), pinv, hier.coarse_shape,
+                          hier.overcorrect)
 
 
 def sharded_stencil_cg(mesh: Mesh, A: StencilOperator, B, rtol=1e-6,

@@ -1,0 +1,61 @@
+"""Shared setup for the stencil device paths (shortcut / maps-on
+pairwise, advanced, one-to-all): host weight planes -> device operator
++ geo-MG hierarchy, mesh-aware.
+
+When more than one device is visible (parallel/mesh.py active_mesh),
+the operator's grid rows are padded to a shard multiple and placed
+row-sharded over the 'nodes' mesh axis, and the MG hierarchy's fine
+levels shard the same way — the batched solves then run under GSPMD
+with halo exchanges over ICI, replacing the reference's per-solve
+thread pool (src/core.jl:268-272).  Padding rows carry zero weights
+(inactive cells), so they never affect the solution; callers crop any
+fetched full-grid maps back to the returned original shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .stencil import StencilOperator, _split_planes
+from .geomg import build_geo_mg, geomg_apply
+
+
+def prepare_stencil_solver(planes, use_mg=True):
+    """planes: 5 host numpy float64 planes (we, ws, wse, wne, diag).
+
+    Returns (S64, prec, prec_apply, (H0, W0)) where S64 is the f64
+    device operator (possibly row-padded + row-sharded), prec the geo-MG
+    hierarchy (f32; None for tiny grids, where Jacobi-CG wins), and
+    (H0, W0) the ORIGINAL grid shape for cropping fetched maps.
+    """
+    from ..parallel.mesh import active_mesh, shard_hierarchy
+
+    H0, W0 = planes[0].shape
+    mesh = active_mesh(H0 * W0)
+    if mesh is not None:
+        rows = mesh.shape["nodes"]
+        # pad so the fine level AND the first 3 coarse levels split
+        # evenly over 'nodes' (each MG level halves the row count)
+        quantum = rows * 8
+        Hp = -(-H0 // quantum) * quantum
+        if Hp != H0:
+            planes = [np.pad(np.asarray(p), ((0, Hp - H0), (0, 0)))
+                      for p in planes]
+
+    stacked = np.stack([np.asarray(p, np.float64) for p in planes])
+    dev = jnp.asarray(stacked)
+    if mesh is not None:
+        dev = jax.device_put(dev, NamedSharding(mesh, P(None, "nodes", None)))
+    S64 = _split_planes(dev)
+
+    prec = prec_apply = None
+    if use_mg and planes[0].size > 4096:
+        prec = build_geo_mg(planes_np=planes)
+        if mesh is not None:
+            prec = shard_hierarchy(mesh, prec)
+        prec_apply = geomg_apply
+    return S64, prec, prec_apply, (H0, W0)
