@@ -146,9 +146,8 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.geomg import build_geo_mg, geomg_apply
-    from ..solve.stencil import (StencilOperator, _to_dtype,
-                                 advanced_ground_penalty,
+    from ..solve.prepare import prepare_stencil_solver
+    from ..solve.stencil import (advanced_ground_penalty,
                                  stencil_node_currents, stencil_planes_np,
                                  stencil_solve_advanced_batch)
 
@@ -168,9 +167,8 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     cslog.info("advanced device fast path")
     planes = stencil_planes_np(prob.cellmap, flags.avg_res,
                                flags.four_neighbors)
-    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
-    S32 = _to_dtype(S64, jnp.float32)
-    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
+    Hp, Wp = S64.shape
 
     n = prob.G.shape[0]
     rr, cc_ = np.nonzero(nodemap)
@@ -223,7 +221,7 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
             f"advanced device solve residual {float(rel.max())} exceeds "
             f"tolerance {consts.RESIDUAL_GATE}")
 
-    volt = np.array(X[0], dtype)
+    volt = np.array(X[0], dtype)[:H, :W]
     volt[nodemap == 0] = 0
 
     outcurr = np.zeros((H, W), dtype)
@@ -233,11 +231,11 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
         else:
             # finite-ground diagonal current terms (penalty cells are
             # the reference's deleted nodes — excluded from the term)
-            fin_grid = np.zeros((H, W))
+            fin_grid = np.zeros((Hp, Wp))
             fin_grid[rr, cc_] = np.where(inf_mask, 0.0,
                                          finite)[node_ids - 1]
             ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid))[0]
-        outcurr = np.asarray(ncur, dtype)
+        outcurr = np.asarray(ncur, dtype)[:H, :W]
         if of.write_cur_maps or of.write_cum_cur_map_only:
             out.write_grid(outcurr.copy(), "", cfg, prob.hbmeta,
                            cellmap=prob.cellmap)

@@ -325,25 +325,20 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.geomg import build_geo_mg, geomg_apply
-    from ..solve.stencil import (StencilOperator, _extract_point_voltages,
-                                 _to_dtype, stencil_planes_np,
+    from ..solve.prepare import prepare_stencil_solver
+    from ..solve.stencil import (_extract_point_voltages, stencil_planes_np,
                                  stencil_solve_pairs)
 
     points = prob.points
     nodemap = prob.nodemap
     H, W = nodemap.shape
-    # Host builds the f64 planes once; one upload puts them on device.
+    # Host builds the f64 planes once; one upload puts them on device
+    # (row-sharded over the active mesh when >1 device is visible).
     # Work precision is f32 (cast on device); outer refinement residuals
     # run in plain f64 device ops (solve/stencil.py stencil_solve_pairs).
     planes = stencil_planes_np(prob.cellmap, flags.avg_res,
                                flags.four_neighbors)
-    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
-    S32 = _to_dtype(S64, jnp.float32)
-    prec = prec_apply = None
-    if H * W > 4096:
-        prec = build_geo_mg(planes_np=planes, fine_op=S32)
-        prec_apply = geomg_apply
+    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
 
     # invert the nodemap once: node id -> grid cell
     rr, cc_ = np.nonzero(nodemap)
@@ -450,9 +445,8 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     from .. import consts
     from ..checkpoint import Checkpoint
     from ..solve.dispatch import SolverFailedError
-    from ..solve.geomg import build_geo_mg, geomg_apply
-    from ..solve.stencil import (StencilOperator, _to_dtype,
-                                 stencil_node_currents, stencil_planes_np,
+    from ..solve.prepare import prepare_stencil_solver
+    from ..solve.stencil import (stencil_node_currents, stencil_planes_np,
                                  stencil_solve_pairs)
 
     points = prob.points
@@ -465,9 +459,8 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     cslog.info("pairwise device fast path (maps on)")
     planes = stencil_planes_np(prob.cellmap, flags.avg_res,
                                flags.four_neighbors)
-    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
-    S32 = _to_dtype(S64, jnp.float32)
-    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
+    Hp, Wp = S64.shape   # >= (H, W) under a mesh; crop fetched maps
 
     rr, cc_ = np.nonzero(nodemap)
     node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
@@ -478,7 +471,7 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     comp_label_of_node = np.zeros(int(nodemap.max()) + 1, np.int32)
     for ci, comp in enumerate(prob.cc):
         comp_label_of_node[np.asarray(comp)] = ci + 1
-    labels_grid = np.zeros((H, W), np.int32)
+    labels_grid = np.zeros((Hp, Wp), np.int32)
     labels_grid[rr, cc_] = comp_label_of_node[nodemap[rr, cc_]]
     labels_dev = jnp.asarray(labels_grid)
 
@@ -554,12 +547,14 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                 if of.log_transform_maps:
                     ncur = jnp.where(ncur > 0, jnp.log10(ncur), nodata)
                 if of.set_null_currents_to_nodata:
-                    cmask = jnp.asarray(prob.cellmap == 0)
-                    ncur = jnp.where(cmask[None], nodata, ncur)
-            cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0), dtype)
+                    cmask_np = np.ones((Hp, Wp), bool)
+                    cmask_np[:H, :W] = prob.cellmap == 0
+                    ncur = jnp.where(jnp.asarray(cmask_np)[None], nodata,
+                                     ncur)
+            cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0), dtype)[:H, :W]
             if of.write_max_cur_maps:
                 np.maximum(cum.max_curr,
-                           np.asarray(jnp.max(ncur, axis=0), dtype),
+                           np.asarray(jnp.max(ncur, axis=0), dtype)[:H, :W],
                            out=cum.max_curr)
 
         for col, (src_node, dst_node, combos) in enumerate(chunk):
@@ -569,10 +564,10 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                 resistances[c_j, c_i] = resistance
                 name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
                 if write_pair_files:
-                    out.write_grid(np.asarray(ncur[col], dtype), name, cfg,
-                                   prob.hbmeta)
+                    out.write_grid(np.asarray(ncur[col], dtype)[:H, :W],
+                                   name, cfg, prob.hbmeta)
                 if of.write_volt_maps:
-                    vm = np.asarray(Xb[col], dtype)
+                    vm = np.asarray(Xb[col], dtype)[:H, :W]
                     if of.set_null_voltages_to_nodata:
                         vm[prob.cellmap == 0] = prob.hbmeta.nodata
                     out.write_grid(vm, name, cfg, prob.hbmeta, voltage=True)

@@ -54,9 +54,8 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.geomg import build_geo_mg, geomg_apply
-    from ..solve.stencil import (StencilOperator, _to_dtype,
-                                 advanced_ground_penalty,
+    from ..solve.prepare import prepare_stencil_solver
+    from ..solve.stencil import (advanced_ground_penalty,
                                  stencil_node_currents, stencil_planes_np,
                                  stencil_solve_advanced_batch)
     from ..graph import build
@@ -84,9 +83,7 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                len(pts))
 
     planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
-    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
-    S32 = _to_dtype(S64, jnp.float32)
-    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
 
     # component label per focal point (grid components)
     from .raster import _grid_components
@@ -158,18 +155,19 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
         if of.write_cur_maps or of.write_cum_cur_map_only:
             ncur = stencil_node_currents(S64, X)
             if of.write_cur_maps:
-                cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))
+                cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))[:H, :W]
                 if of.write_max_cur_maps:
                     np.maximum(cum.max_curr,
-                               np.asarray(jnp.max(ncur, axis=0)),
+                               np.asarray(jnp.max(ncur, axis=0))[:H, :W],
                                out=cum.max_curr)
             for k, i in enumerate(idx_active):
-                out.write_grid(np.asarray(ncur[k], dtype), f"_{int(pts[i])}",
-                               cfg, hbmeta, cellmap=gmap)
+                out.write_grid(np.asarray(ncur[k], dtype)[:H, :W],
+                               f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap)
         if of.write_volt_maps:
             for k, i in enumerate(idx_active):
-                out.write_grid(np.asarray(X[k], dtype), f"_{int(pts[i])}",
-                               cfg, hbmeta, cellmap=gmap, voltage=True)
+                out.write_grid(np.asarray(X[k], dtype)[:H, :W],
+                               f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap,
+                               voltage=True)
 
     if of.write_cur_maps or of.write_cum_cur_map_only:
         out.write_cum_maps(cum, gmap, cfg, hbmeta, of.write_max_cur_maps,

@@ -483,9 +483,9 @@ def _extract_point_voltages(X, src_cells, point_cells):
     return Vp, vsrc
 
 
-@partial(jax.jit, static_argnames=("prec_apply", "itmax"))
+@partial(jax.jit, static_argnames=("prec_apply", "itmax", "mesh"))
 def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
-                       rtol, itmax):
+                       rtol, itmax, mesh=None):
     """The WHOLE mixed-precision pair solve as one device execution:
     RHS scatter, f32 MG-CG to rtol, f64 true residual, one refinement
     pass at the SAME ABSOLUTE tolerance (so the touch-up solve stops
@@ -497,6 +497,12 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
     b_pad = sc.shape[0]
     H, W = S64.shape
     B64 = _pairs_rhs(sc, dc, H, W, b_pad)
+    if mesh is not None:
+        # pin the canonical layout: pairs over 'batch', grid rows over
+        # 'nodes' — GSPMD derives the halo exchanges and psums from here
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        B64 = jax.lax.with_sharding_constraint(
+            B64, NamedSharding(mesh, _P("batch", "nodes", None)))
     # padded columns (src == dst) scatter to net-zero RHS already
     bnorm = jnp.sqrt(jnp.sum(B64 * B64, axis=(-2, -1)))
     safe_bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
@@ -570,18 +576,32 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
                       prec, prec_apply, max_refine):
     """Single-dispatch fused solve with a chunked-driver fallback for
     the (rare) case two refinement passes don't reach rtol."""
+    from ..parallel.mesh import mesh_of
+
     H, W = S64.shape
     nb = src_cells.shape[0]
     b_pad = 1 << max(0, nb - 1).bit_length()
+    mesh = mesh_of(S64.diag)
+    if mesh is not None:
+        bax = mesh.shape["batch"]
+        b_pad = -(-b_pad // bax) * bax   # even shards over 'batch'
     sc_np = np.zeros((b_pad, 2), np.int32)
     dc_np = np.zeros((b_pad, 2), np.int32)
     sc_np[:nb] = src_cells
     dc_np[:nb] = dst_cells
     # padded columns: src == dst == (0,0) -> the ±1 scatter cancels and
     # the RHS column is exactly zero (rel = 0, never gates convergence)
-    sc = jnp.asarray(sc_np)
-    dc = jnp.asarray(dc_np)
-    pc = jnp.asarray(np.asarray(point_cells), jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        sh_b = NamedSharding(mesh, _P("batch", None))
+        sc = jax.device_put(jnp.asarray(sc_np), sh_b)
+        dc = jax.device_put(jnp.asarray(dc_np), sh_b)
+        pc = jax.device_put(jnp.asarray(np.asarray(point_cells), jnp.int32),
+                            NamedSharding(mesh, _P()))
+    else:
+        sc = jnp.asarray(sc_np)
+        dc = jnp.asarray(dc_np)
+        pc = jnp.asarray(np.asarray(point_cells), jnp.int32)
     npts = pc.shape[0]
     if prec is not None and getattr(prec, "levels", ()):
         A_lo = prec.levels[0].A   # the hierarchy's fine level IS f32 A
@@ -589,7 +609,7 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
         A_lo = _to_dtype(S64, jnp.float32)
 
     X, packed = _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc,
-                                   pc, rtol, itmax)
+                                   pc, rtol, itmax, mesh)
     packed = np.asarray(packed)   # the one fetch
     rel = packed[:b_pad]
     total_iters = int(packed[b_pad])
@@ -646,11 +666,31 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
 
     Returns (X (f64 device, (B, H, W)), rel (np, B), iters).
     """
+    from ..parallel.mesh import mesh_of
+
     H, W = S64.shape
+    nb_in = np.asarray(src_cells).shape[0]
+    mesh = mesh_of(S64.diag)
+    if mesh is not None:
+        # pad the batch to even 'batch' shards (zero columns: rel = 0)
+        bax = mesh.shape["batch"]
+        b_pad = -(-nb_in // bax) * bax
+        if b_pad != nb_in:
+            def padb(a):
+                a = np.asarray(a)
+                return np.concatenate(
+                    [a, np.zeros((b_pad - nb_in,) + a.shape[1:], a.dtype)])
+            src_cells, src_vals = padb(src_cells), padb(src_vals)
+            gnd_cells, gnd_vals = padb(gnd_cells), padb(gnd_vals)
     B_rhs = _scatter_field(jnp.asarray(src_cells, jnp.int32),
                            jnp.asarray(src_vals, jnp.float64), H, W)
     pen64 = _scatter_field(jnp.asarray(gnd_cells, jnp.int32),
                            jnp.asarray(gnd_vals, jnp.float64), H, W)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        sh = NamedSharding(mesh, _P("batch", "nodes", None))
+        B_rhs = jax.device_put(B_rhs, sh)
+        pen64 = jax.device_put(pen64, sh)
     pen32 = pen64.astype(jnp.float32)
 
     A_lo = _to_dtype(S64, jnp.float32)
@@ -675,7 +715,7 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
         total_iters += int(it)
         if np.all(rel <= rtol):
             break
-    return X, rel, total_iters
+    return X, rel[:nb_in], total_iters
 
 
 def advanced_ground_penalty(S64: StencilOperator) -> float:

@@ -55,6 +55,93 @@ def test_sharded_cg_matches_single_device(mesh8):
     assert np.max(np.abs(a - b)) < 1e-3
 
 
+def test_sharded_mg_pair_solve_matches_single_device(mesh8, monkeypatch):
+    """The PRODUCTION fused pair solve (geo-MG V-cycle + mixed-precision
+    refinement) under GSPMD on 8 devices must match the single-device
+    answer on a 256x256 grid (VERDICT r1 item 1)."""
+    from circuitscape_tpu.solve.prepare import prepare_stencil_solver
+    from circuitscape_tpu.solve.stencil import (stencil_planes_np,
+                                                stencil_solve_pairs_points)
+
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0.5, 3.0, (256, 256))
+    g[rng.random((256, 256)) < 0.05] = 0.0   # holes
+    planes = stencil_planes_np(g, False, False)
+
+    # restrict focal picks to the largest connected component (pair RHS
+    # across components would be inconsistent)
+    from scipy.ndimage import label
+    lab, nlab = label(g > 0, structure=np.ones((3, 3)))
+    main = np.argmax(np.bincount(lab.ravel())[1:]) + 1
+
+    def pick_cells(n):
+        cells = []
+        while len(cells) < n:
+            r, c = rng.integers(0, 256, 2)
+            if lab[r, c] == main:
+                cells.append((r, c))
+        return np.asarray(cells, np.int64)
+
+    src = pick_cells(5)
+    dst = pick_cells(5)
+    pts = pick_cells(4)
+
+    # single-device reference
+    monkeypatch.setenv("CS_DISABLE_MESH", "1")
+    S1, prec1, apply1, _ = prepare_stencil_solver(planes)
+    _, Vp1, rel1, _ = stencil_solve_pairs_points(
+        S1, src, dst, pts, rtol=1e-8, prec=prec1, prec_apply=apply1)
+    assert np.all(rel1 < 1e-6)
+
+    # 8-device sharded run through the same production entry point
+    monkeypatch.delenv("CS_DISABLE_MESH")
+    monkeypatch.setenv("CS_FORCE_MESH", "1")
+    S8, prec8, apply8, (H0, W0) = prepare_stencil_solver(planes)
+    assert (H0, W0) == (256, 256)
+    from circuitscape_tpu.parallel.mesh import mesh_of
+    assert mesh_of(S8.diag) is not None, "operator must be mesh-sharded"
+    _, Vp8, rel8, _ = stencil_solve_pairs_points(
+        S8, src, dst, pts, rtol=1e-8, prec=prec8, prec_apply=apply8)
+    assert np.all(rel8 < 1e-6)
+
+    assert np.max(np.abs(Vp1 - Vp8)) < 1e-5
+
+
+def test_sharded_advanced_batch_matches_single_device(mesh8, monkeypatch):
+    """Batched advanced solves (penalty grounds) under GSPMD == single
+    device, including the batch-padding to even 'batch' shards."""
+    from circuitscape_tpu.solve.prepare import prepare_stencil_solver
+    from circuitscape_tpu.solve.stencil import (advanced_ground_penalty,
+                                                stencil_planes_np,
+                                                stencil_solve_advanced_batch)
+
+    rng = np.random.default_rng(11)
+    g = rng.uniform(0.5, 3.0, (128, 128))
+    planes = stencil_planes_np(g, False, False)
+
+    nb = 3  # deliberately NOT a multiple of the batch axis
+    K = 2
+    src_cells = rng.integers(0, 128, (nb, K, 2))
+    src_vals = rng.uniform(0.5, 2.0, (nb, K))
+    gnd_cells = rng.integers(0, 128, (nb, K, 2))
+
+    def run():
+        S, prec, apply_, _ = prepare_stencil_solver(planes)
+        gnd_vals = np.full((nb, K), advanced_ground_penalty(S))
+        X, rel, _ = stencil_solve_advanced_batch(
+            S, src_cells, src_vals, gnd_cells, gnd_vals,
+            rtol=1e-8, prec=prec, prec_apply=apply_)
+        assert np.all(rel < 1e-6)
+        return np.asarray(X)[:nb, :128, :128]
+
+    monkeypatch.setenv("CS_DISABLE_MESH", "1")
+    X1 = run()
+    monkeypatch.delenv("CS_DISABLE_MESH")
+    monkeypatch.setenv("CS_FORCE_MESH", "1")
+    X8 = run()
+    assert np.max(np.abs(X1 - X8)) < 1e-5
+
+
 def test_pad_to_mesh_shapes(mesh8):
     from circuitscape_tpu.parallel.mesh import pad_to_mesh
     plane = np.ones((63, 17))
