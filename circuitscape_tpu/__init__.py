@@ -40,15 +40,16 @@ if "cpu" not in _os.environ.get("JAX_PLATFORMS", "tpu"):
 
 from .config import CSConfig, init_config, parse_config, write_config  # noqa: E402
 from .run import compute  # noqa: E402
+from .solve.dispatch import register_solver  # noqa: E402
 from .utils import (calculate_cum_current_map,  # noqa: E402
                     calculate_max_current_map, compute_omniscape_current)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "compute", "CSConfig", "parse_config", "init_config", "write_config",
     "compute_omniscape_current", "calculate_cum_current_map",
-    "calculate_max_current_map", "start",
+    "calculate_max_current_map", "register_solver", "start",
 ]
 
 

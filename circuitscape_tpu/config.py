@@ -65,6 +65,15 @@ def _parse_solver(s):
         return ST_PARDISO
     if s in consts.ACCELERATE:
         return ST_ACCELERATE
+    # registered extension tiers keep their name (solve/dispatch.py
+    # registry — the plugin surface); unknown spellings fall back to the
+    # default like the reference (src/config.jl:109-119)
+    try:
+        from .solve.dispatch import _SOLVER_REGISTRY
+        if str(s).lower() in _SOLVER_REGISTRY:
+            return str(s).lower()
+    except Exception:
+        pass
     return ST_CG_AMG
 
 

@@ -169,19 +169,41 @@ class DirectSolver:
         return DirectContext(matrix, dtype)
 
 
+# --------------------------------------------------------------------------
+# Solver registry — the extension surface.
+#
+# The reference exposes its solver tiers to plugins via multiple-dispatch
+# overrides of construct_cholesky_factor / solve_linear_system
+# (ext/CircuitscapePardisoExt.jl:6,31-45); the Python equivalent is this
+# registry: external code registers a factory under a solver name and any
+# INI with `solver = <name>` routes through it.  A factory is a callable
+# cfg -> solver object with .name, .is_direct, .batch_size and
+# .build(matrix, dtype) -> context exposing .solve(rhs: (n, B)) -> (n, B).
+# --------------------------------------------------------------------------
+
+_SOLVER_REGISTRY: dict = {}
+
+
+def register_solver(name: str, factory, message: str = None) -> None:
+    """Register (or override) a solver tier under `name`."""
+    _SOLVER_REGISTRY[name.lower()] = (factory, message)
+
+
+register_solver("cg+amg", AMGSolver, "Solver used: AMG accelerated by CG")
+register_solver("cholmod", DirectSolver, "Solver used: CHOLMOD")
+# reference extension tiers were both CPU direct-solver variants; their
+# spellings stay valid and route to the direct tier
+register_solver("mklpardiso", DirectSolver, "Solver used: Pardiso")
+register_solver("accelerate", DirectSolver,
+                "Solver used: Apple Accelerate")
+
+
 def get_solver(cfg):
-    """src/core.jl:74-94."""
-    s = cfg.solver
-    if s == "cg+amg":
-        cslog.info("Solver used: AMG accelerated by CG")
-        return AMGSolver(cfg)
-    if s == "cholmod":
-        cslog.info("Solver used: CHOLMOD")
-        return DirectSolver(cfg)
-    if s == "mklpardiso":
-        cslog.info("Solver used: Pardiso")
-        return DirectSolver(cfg)
-    if s == "accelerate":
-        cslog.info("Solver used: Apple Accelerate")
-        return DirectSolver(cfg)
-    raise ValueError(f"Unknown solver: {s}")
+    """src/core.jl:74-94 (registry-backed)."""
+    entry = _SOLVER_REGISTRY.get(str(cfg.solver).lower())
+    if entry is None:
+        raise ValueError(f"Unknown solver: {cfg.solver}")
+    factory, message = entry
+    if message:
+        cslog.info(message)
+    return factory(cfg)

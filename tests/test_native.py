@@ -39,6 +39,39 @@ def test_native_backend_loads(monkeypatch):
     assert ctx._native is not None
 
 
+def test_solver_registry_extension(tmp_path):
+    """The registry is the plugin surface (parity with the reference's
+    multiple-dispatch extension pattern, ext/CircuitscapePardisoExt.jl):
+    a registered custom tier is reachable from compute() by name."""
+    import circuitscape_tpu as cs
+    from circuitscape_tpu.solve.dispatch import DirectSolver
+
+    calls = {"n": 0}
+
+    class TracingSolver(DirectSolver):
+        name = "traced"
+
+        def build(self, matrix, dtype):
+            calls["n"] += 1
+            return super().build(matrix, dtype)
+
+    cs.register_solver("my_ext_solver", TracingSolver)
+
+    hdr = ("ncols 5\nnrows 5\nxllcorner 0\nyllcorner 0\ncellsize 1\n"
+           "NODATA_value -9999\n")
+    (tmp_path / "cell.asc").write_text(hdr + "\n".join(["1 1 1 1 1"] * 5))
+    pts = ["1 0 0 0 2"] + ["0 0 0 0 0"] * 4
+    (tmp_path / "pts.asc").write_text(hdr + "\n".join(pts))
+    d = {"data_type": "raster", "scenario": "pairwise",
+         "habitat_file": str(tmp_path / "cell.asc"),
+         "point_file": str(tmp_path / "pts.asc"),
+         "output_file": str(tmp_path / "job.out"),
+         "solver": "my_ext_solver"}
+    r = cs.compute(d)
+    assert calls["n"] > 0, "custom solver was not used"
+    assert float(r[1, 2]) > 0
+
+
 def test_native_multi_rhs_matches_scipy():
     G = _grid_laplacian(16, seed=3)
     ctx = DirectContext(G, np.float64)

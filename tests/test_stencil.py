@@ -60,6 +60,59 @@ def test_solve_pairs_device_resident():
         assert r > 0
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_geomg_spd_on_heterogeneous_grids(seed):
+    """SPD guard for the geo-MG preconditioner (VERDICT r1 item 9).
+
+    With the fixed coarse over-correction (overcorrect=1.9) the V-cycle
+    must remain a symmetric positive-definite operator even on
+    pathological grids (conductance spread 1e-6..1e6, near-disconnected
+    strips), or CG silently loses its convergence guarantee.  Checks
+    (a) symmetry <Mx, y> == <x, My> on random vectors, (b) positivity
+    <x, Mx> > 0, and (c) the preconditioned solve actually converges.
+    """
+    from circuitscape_tpu.solve.geomg import build_geo_mg, geomg_apply
+    from circuitscape_tpu.solve.stencil import stencil_planes_np
+
+    rng = np.random.default_rng(seed)
+    H = W = 96
+    # log-uniform spread over 12 decades + a near-disconnecting strip
+    g = 10.0 ** rng.uniform(-6, 6, (H, W))
+    g[H // 2, : W - 2] = 1e-6
+    g[rng.random((H, W)) < 0.05] = 0.0
+    planes = stencil_planes_np(g, False, False)
+    prec = build_geo_mg(planes_np=planes)
+    assert prec.overcorrect == pytest.approx(1.9)
+
+    def M(v):
+        return np.asarray(geomg_apply(prec, jnp.asarray(v, jnp.float32)),
+                          np.float64)
+
+    x = rng.standard_normal((2, H, W)).astype(np.float32)
+    y = rng.standard_normal((2, H, W)).astype(np.float32)
+    x[:, g <= 0] = 0
+    y[:, g <= 0] = 0
+    Mx, My = M(x), M(y)
+    for b in range(2):
+        lhs = float(np.sum(Mx[b] * y[b]))
+        rhs = float(np.sum(x[b] * My[b]))
+        scale = max(abs(lhs), abs(rhs), 1e-30)
+        assert abs(lhs - rhs) / scale < 1e-4, "V-cycle is not symmetric"
+        assert float(np.sum(x[b] * Mx[b])) > 0, "V-cycle not positive"
+
+    # (c) convergence: a unit pair solve through the production entry
+    from scipy.ndimage import label
+    lab, _ = label(g > 0, structure=np.ones((3, 3)))
+    main = np.argmax(np.bincount(lab.ravel())[1:]) + 1
+    cells = np.argwhere(lab == main)
+    src = cells[:1]
+    dst = cells[-1:]
+    X, rel, iters = stencil_solve_pairs(
+        stencil_from_gmap(g, False, False, np.float64), src, dst,
+        rtol=1e-6, prec=prec, prec_apply=geomg_apply)
+    assert np.all(rel < 1e-4), f"PCG failed on pathological grid: {rel}"
+
+
 def test_pallas_matvec_interpret():
     from circuitscape_tpu.solve.pallas_stencil import (PallasStencil,
                                                        pallas_matvec,
