@@ -71,22 +71,20 @@ connect_using_avg_resistances = False
 
 def warmup(g):
     """Compile the solve kernels at bench shapes (excluded from timing,
-    like the reference baseline excluding Julia JIT warmup)."""
-    import jax.numpy as jnp
-    from circuitscape_tpu.solve.geomg import build_geo_mg, geomg_apply
-    from circuitscape_tpu.solve.stencil import (StencilOperator, _to_dtype,
-                                                stencil_planes_np,
+    like the reference baseline excluding Julia JIT warmup).  Goes
+    through prepare_stencil_solver — the same setup path compute() takes
+    — so the exact kernel variant (Pallas/XLA, mesh/single) warms."""
+    from circuitscape_tpu.solve.prepare import prepare_stencil_solver
+    from circuitscape_tpu.solve.stencil import (stencil_planes_np,
                                                 stencil_solve_pairs)
     gm = np.where(g > 0, g, 0.0)
     planes = stencil_planes_np(gm, False, False)
-    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
-    S32 = _to_dtype(S64, jnp.float32)
-    prec = build_geo_mg(planes_np=planes, fine_op=S32)
+    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
     n_pairs = NPOINTS - 1
     src = np.zeros((n_pairs, 2), np.int64)
     dst = np.zeros((n_pairs, 2), np.int64)
     X, relres, iters = stencil_solve_pairs(S64, src, dst, prec=prec,
-                                           prec_apply=geomg_apply)
+                                           prec_apply=prec_apply)
 
 
 def _note(msg):
@@ -123,12 +121,17 @@ def main():
         assert finite.size > 0 and np.all(np.isfinite(finite)), \
             "benchmark solve produced no finite resistances"
 
-        print(json.dumps({
+        result = {
             "metric": "pairwise_1Mcell_32pt_wall_clock",
             "value": round(elapsed, 3),
             "unit": "s",
             "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
-        }))
+        }
+        if os.environ.get("CS_TPU_GOLDEN"):
+            from tpu_golden import run_subset
+            passed, total, failures = run_subset(note=_note)
+            result["tpu_golden"] = f"{passed}/{total}"
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -2,24 +2,29 @@
 
 The XLA formulation (solve/stencil.py stencil_matvec) lowers to ~17
 pad/slice multiply-adds that XLA fuses into several HBM passes; this
-kernel performs y = L x in ONE pass per operand: each grid step DMAs a
-halo'd row-slab of x from HBM into VMEM, applies all eight neighbor
+kernel performs y = L x in ONE main pass per operand: each grid step
+DMAs a halo'd slab of x from HBM into VMEM, applies all eight neighbor
 contributions in-register, and writes the y slab.  Weight planes flow
 through the normal block pipeline; because the grid iterates batch
 fastest, their blocks are reused across batch steps without re-fetch.
 
-To keep every plane access row-aligned with the output slab (so only x
-needs halo rows), the operator is pre-expanded with row-shifted copies:
-  ws_up[r]  = ws[r-1]   (north coupling),
-  wse_up[r] = wse[r-1]  (northwest transpose),
-  wne_dn[r] = wne[r+1]  (southwest transpose).
+Mosaic constraints shape the design (discovered on real-TPU compiles):
+`tpu.dynamic_rotate` rejects unaligned row counts and `tpu.concatenate`
+rejects mixed sublane offsets, so the kernel contains NO shifts and NO
+concats — only STATIC slices.  Instead, the input x is pre-padded with
+one zero row/column on each side (plus zero rows to a ROWS multiple),
+so each of the nine neighbor reads x[g+dr, j+dc] is a static slice of
+the halo'd VMEM slab, and the zero padding reproduces the operator's
+zero-fill boundary semantics exactly.  Every weight the kernel needs is
+pre-expanded AT BUILD TIME to its output-aligned copy (e.g. the West
+term -we[g, j-1]*x[g, j-1] uses the pre-shifted plane
+we_w[g, j] = we[g, j-1]), so plane reads never shift either:
 
-Math per output row g (W-axis shifts zero-fill in-register):
-  y[g] = diag[g]*x[g]
-       - we[g]*x[g]>>E - (we[g]*x[g])>>W
-       - ws[g]*x[g+1] - ws_up[g]*x[g-1]
-       - wse[g]*x[g+1]>>E - (wse_up[g]*x[g-1])>>W
-       - wne[g]*x[g-1]>>E - (wne_dn[g]*x[g+1])>>W
+  y[g,j] = diag*x[g,j]
+         - we   *x[g,  j+1] - we_w  *x[g,  j-1]     (E, W)
+         - ws   *x[g+1,j  ] - ws_up *x[g-1,j  ]     (S, N)
+         - wse  *x[g+1,j+1] - wse_uw*x[g-1,j-1]     (SE, NW)
+         - wne  *x[g-1,j+1] - wne_dw*x[g+1,j-1]     (NE, SW)
 """
 
 from __future__ import annotations
@@ -35,101 +40,108 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import StencilOperator
 
-ROWS = 128   # output row-slab height per grid step
 BBLK = 4     # batch columns per grid step
 
 
-def _shift_e(a):
-    """a[..., j] <- a[..., j+1], zero-filled last column."""
-    return jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
+def _pick_rows(W: int) -> int:
+    """Largest row-slab height whose VMEM footprint (9 double-buffered
+    plane blocks + double-buffered out block + halo scratch) stays well
+    under the 16 MB scoped-vmem limit."""
+    Wp2 = -(-(W + 2) // 128) * 128
+    for rows in (128, 64, 32, 16, 8):
+        vmem = (9 * 2 * rows * W * 4 +          # plane blocks
+                2 * BBLK * rows * W * 4 +       # out blocks
+                BBLK * (rows + 16) * Wp2 * 4)   # halo scratch
+        if vmem <= 12 * 2**20:
+            return rows
+    return 8
 
 
-def _shift_w_(a):
-    """a[..., j] <- a[..., j-1], zero-filled first column."""
-    return jnp.concatenate([jnp.zeros_like(a[..., :1]), a[..., :-1]], axis=-1)
-
-
-def _kernel(x_hbm, we, ws, ws_up, wse, wse_up, wne, wne_dn, diag,
-            y_ref, xs, sem):
+def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
+            y_ref, xs, sem, *, rows):
     i = pl.program_id(0)       # row slab
     j = pl.program_id(1)       # batch block
-    H = x_hbm.shape[1]
 
-    d0 = i * ROWS - 1                      # first desired (halo) row
-    start = jnp.clip(d0, 0, H - (ROWS + 2))
-    delta = d0 - start                     # in [-1, ROWS+1]
-
+    # halo'd slab: rows [i*rows, i*rows + rows + 16) of the padded input
+    # (x row g lives at padded row g+8, so the slab is 8-row aligned in
+    # both offset and height — a Mosaic DMA-slice requirement)
     cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(start, ROWS + 2)],
+        xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16)],
         xs,
         sem,
     )
     cp.start()
     cp.wait()
 
-    block = xs[:]                          # (BBLK, ROWS+2, W)
-    block = pltpu.roll(block, -delta, axis=1)
-    # zero rows whose global index g = d0 + r is outside [0, H)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
-    g = row_ids + d0
-    block = jnp.where((g >= 0) & (g < H), block, 0.0)
+    b = xs[:]                                  # (BBLK, rows+16, Wp2)
+    W = y_ref.shape[2]
 
-    up = block[:, :-2]                     # x[g-1]
-    mid = block[:, 1:-1]                   # x[g]
-    dn = block[:, 2:]                      # x[g+1]
+    def at(dr, dc):
+        """x[g+dr, j+dc] as a static slice (output-aligned)."""
+        return b[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
 
-    wE = we[:][None]
-    wS = ws[:][None]
-    wSu = ws_up[:][None]
-    wSE = wse[:][None]
-    wSEu = wse_up[:][None]
-    wNE = wne[:][None]
-    wNEd = wne_dn[:][None]
-
-    y = diag[:][None] * mid
-    y -= wE * _shift_e(mid) + _shift_w_(wE * mid)
-    y -= wS * dn + wSu * up
-    y -= wSE * _shift_e(dn) + _shift_w_(wSEu * up)
-    y -= wNE * _shift_e(up) + _shift_w_(wNEd * dn)
+    y = diag[:][None] * at(0, 0)
+    y -= we[:][None] * at(0, 1) + we_w[:][None] * at(0, -1)
+    y -= ws[:][None] * at(1, 0) + ws_up[:][None] * at(-1, 0)
+    y -= wse[:][None] * at(1, 1) + wse_uw[:][None] * at(-1, -1)
+    y -= wne[:][None] * at(-1, 1) + wne_dw[:][None] * at(1, -1)
     y_ref[:] = y
 
 
 @jax.tree_util.register_pytree_node_class
 class PallasStencil:
-    """Pre-expanded plane set for the Pallas matvec."""
+    """Pre-expanded plane set for the Pallas matvec: all eight neighbor
+    weights shifted to output-aligned copies, rows padded to a ROWS
+    multiple, at build time (once per solve — the per-iteration matvec
+    touches only x)."""
 
-    def __init__(self, we, ws, ws_up, wse, wse_up, wne, wne_dn, diag):
-        (self.we, self.ws, self.ws_up, self.wse, self.wse_up, self.wne,
-         self.wne_dn, self.diag) = (we, ws, ws_up, wse, wse_up, wne,
-                                    wne_dn, diag)
+    def __init__(self, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw,
+                 diag, H=None):
+        (self.we, self.we_w, self.ws, self.ws_up, self.wse, self.wse_uw,
+         self.wne, self.wne_dw, self.diag) = (
+            we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag)
+        self.H = H if H is not None else diag.shape[0]
 
     def tree_flatten(self):
-        return ((self.we, self.ws, self.ws_up, self.wse, self.wse_up,
-                 self.wne, self.wne_dn, self.diag), ())
+        return ((self.we, self.we_w, self.ws, self.ws_up, self.wse,
+                 self.wse_uw, self.wne, self.wne_dw, self.diag), (self.H,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, H=aux[0])
 
     @property
     def shape(self):
-        return self.diag.shape
+        return (self.H, self.diag.shape[1])
 
     @classmethod
     def from_operator(cls, S: StencilOperator) -> "PallasStencil":
-        def up(p):
+        H, W = S.diag.shape
+        # pad to a 128-row multiple so every _pick_rows choice divides
+        Hp = pl.cdiv(H, 128) * 128
+
+        def padH(p):
+            return jnp.pad(p, ((0, Hp - H), (0, 0)))
+
+        def up(p):   # p[r] <- p[r-1]
             return jnp.concatenate([jnp.zeros_like(p[:1]), p[:-1]], axis=0)
 
-        def dn(p):
+        def dn(p):   # p[r] <- p[r+1]
             return jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
 
-        return cls(S.we, S.ws, up(S.ws), S.wse, up(S.wse), S.wne,
-                   dn(S.wne), S.diag)
+        def west(p):  # p[:, j] <- p[:, j-1]
+            return jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]],
+                                   axis=1)
+
+        we, ws, wse, wne, diag = (padH(S.we), padH(S.ws), padH(S.wse),
+                                  padH(S.wne), padH(S.diag))
+        return cls(we, west(we), ws, up(ws), wse, west(up(wse)),
+                   wne, west(dn(wne)), diag, H=H)
 
 
 def supported(S_shape, B) -> bool:
     H, W = S_shape
-    return H >= ROWS + 2 and W <= 4096 and B % BBLK == 0
+    return H >= 64 and W <= 4094 and B % BBLK == 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -137,24 +149,37 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
     """y = L x for x (B, H, W) using the fused Pallas kernel."""
     B, H, W = x.shape
-    grid = (pl.cdiv(H, ROWS), B // BBLK)
+    Hp = P.diag.shape[0]
+    # 8 zero halo rows on top (8-row DMA alignment), zero rows to the
+    # slab extent below, one zero halo column on the left and zeros to a
+    # 128-lane multiple on the right (lane DMA alignment): boundary
+    # reads fall into padding instead of out of bounds
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    rows = _pick_rows(W)
+    xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    grid = (Hp // rows, B // BBLK)
 
-    plane_spec = pl.BlockSpec((ROWS, W), lambda i, j: (i, 0),
+    # index maps return int32 explicitly: under x64 a python `0` would
+    # become an i64 constant, which Mosaic cannot legalize
+    zero = np.int32(0)
+    plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, W), x.dtype),
+    y = pl.pallas_call(
+        functools.partial(_kernel, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x, manual halo DMA
+            pl.BlockSpec(memory_space=pl.ANY),   # x, manual halo DMA
             plane_spec, plane_spec, plane_spec, plane_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec,
+            plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
         ],
-        out_specs=pl.BlockSpec((BBLK, ROWS, W), lambda i, j: (j, i, 0),
+        out_specs=pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BBLK, ROWS + 2, W), x.dtype),
+            pltpu.VMEM((BBLK, rows + 16, Wp2), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, P.we, P.ws, P.ws_up, P.wse, P.wse_up, P.wne, P.wne_dn, P.diag)
+    )(xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw, P.wne, P.wne_dw,
+      P.diag)
+    return y[:, :H]

@@ -57,5 +57,34 @@ def prepare_stencil_solver(planes, use_mg=True):
         prec = build_geo_mg(planes_np=planes)
         if mesh is not None:
             prec = shard_hierarchy(mesh, prec)
+        else:
+            prec = _attach_pallas(prec)
         prec_apply = geomg_apply
     return S64, prec, prec_apply, (H0, W0)
+
+
+def _attach_pallas(prec):
+    """Attach the fused Pallas plane set to every f32 hierarchy level at
+    a supported shape (single-device TPU runs only): the MG-CG loop's
+    matvecs and Chebyshev smoothing then run through the one-pass kernel
+    (~2.6x the XLA formulation's sustained nnz/s on v5e).  The Pallas
+    path is not used under GSPMD sharding (pallas_call has no automatic
+    partitioning) or on the CPU backend."""
+    import os
+
+    if os.environ.get("CS_NO_PALLAS") or jax.default_backend() != "tpu":
+        return prec
+    from .geomg import GeoMgHierarchy, GeoMgLevel
+    from .pallas_stencil import PallasStencil, supported
+
+    levels = []
+    for L in prec.levels:
+        A = L.A
+        H, W = A.diag.shape
+        # batch divisibility is re-checked per matvec at trace time
+        if supported((H, W), 4):
+            pal = PallasStencil.from_operator(A)
+            A = StencilOperator(A.we, A.ws, A.wse, A.wne, A.diag, pal)
+        levels.append(GeoMgLevel(A, L.inv_diag, L.lam_max))
+    return GeoMgHierarchy(tuple(levels), prec.coarse_pinv,
+                          prec.coarse_shape, prec.overcorrect)

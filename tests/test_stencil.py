@@ -113,6 +113,40 @@ def test_geomg_spd_on_heterogeneous_grids(seed):
     assert np.all(rel < 1e-4), f"PCG failed on pathological grid: {rel}"
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("CS_TPU_TESTS"),
+                    reason="real-TPU test; set CS_TPU_TESTS=1")
+def test_pallas_matvec_real_tpu():
+    """Non-interpret Pallas kernel on the actual chip (VERDICT r1 item
+    2).  Runs in a subprocess because this suite pins JAX to CPU."""
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from circuitscape_tpu.solve.stencil import stencil_from_gmap, stencil_matvec
+from circuitscape_tpu.solve.pallas_stencil import PallasStencil, pallas_matvec
+rng = np.random.default_rng(0)
+H, W, B = 512, 512, 8
+g = rng.uniform(0.5, 3.0, (H, W)); g[rng.random((H, W)) < 0.1] = 0.0
+S = stencil_from_gmap(g, False, False, jnp.float32)
+P = PallasStencil.from_operator(S)
+x = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+y = pallas_matvec(P, x)
+yr = jax.jit(stencil_matvec)(S, x)
+err = float(jnp.max(jnp.abs(y - yr))) / float(jnp.max(jnp.abs(yr)))
+assert err < 1e-5, err
+print("TPU_PALLAS_OK", err)
+"""
+    env = dict(__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600,
+                         cwd=__import__("os").path.dirname(
+                             __import__("os").path.dirname(
+                                 __import__("os").path.abspath(__file__))))
+    assert "TPU_PALLAS_OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_pallas_matvec_interpret():
     from circuitscape_tpu.solve.pallas_stencil import (PallasStencil,
                                                        pallas_matvec,

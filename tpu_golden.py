@@ -1,0 +1,90 @@
+"""Golden-subset replay on the REAL TPU backend.
+
+The pytest suite pins JAX to CPU (tests/conftest.py) so f32-on-MXU/VPU
+numerics are never exercised there; this runner replays a representative
+golden config per scenario family — both solver tiers, both precisions —
+on whatever backend JAX selects (the TPU in this environment), using the
+same comparison rules as the reference harness (test/test_utils.jl).
+
+Run directly (`python tpu_golden.py`) or via `CS_TPU_GOLDEN=1 python
+bench.py`, which appends the subset verdict to the bench JSON line.
+"""
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+# representative subset: >=1 config per scenario family
+CASES = [
+    # (label, ini, golden_resistances_or_None, solver, precision)
+    ("network-pairwise", "input/network/sgNetworkVerify1.ini",
+     "sgNetworkVerify1_resistances.out", "cg+amg", "double"),
+    ("network-advanced", "input/network/mgNetworkVerify1.ini",
+     None, "cg+amg", "double"),
+    ("raster-pairwise", "input/raster/pairwise/1/sgVerify1.ini",
+     "sgVerify1_resistances.out", "cg+amg", "double"),
+    ("raster-pairwise-direct", "input/raster/pairwise/1/sgVerify1.ini",
+     "sgVerify1_resistances.out", "cholmod", "double"),
+    ("raster-pairwise-single", "input/raster/pairwise/2/sgVerify2.ini",
+     "sgVerify2_resistances.out", "cg+amg", "single"),
+    ("raster-advanced", "input/raster/advanced/1/mgVerify1.ini",
+     None, "cg+amg", "double"),
+    ("raster-advanced-single", "input/raster/advanced/1/mgVerify1.ini",
+     None, "cg+amg", "single"),
+    ("one-to-all", "input/raster/one_to_all/1/oneToAllVerify1.ini",
+     "oneToAllVerify1_resistances.out", "cg+amg", "double"),
+    ("all-to-one", "input/raster/all_to_one/1/allToOneVerify1.ini",
+     "allToOneVerify1_resistances.out", "cg+amg", "single"),
+    ("pairwise-maps", "input/raster/pairwise/7/sgVerify7.ini",
+     "sgVerify7_resistances.out", "cg+amg", "double"),
+]
+
+
+def run_subset(note=print):
+    import jax
+    from golden_utils import (DATA_DIR, check_resistances, clean_output,
+                              compare_all_output, compute_with, readdlm)
+
+    note(f"tpu_golden backend: {jax.default_backend()} {jax.devices()}")
+    cwd = os.getcwd()
+    os.chdir(DATA_DIR)
+    passed, failures = 0, []
+    try:
+        for label, ini, gold, solver, precision in CASES:
+            clean_output()
+            try:
+                r = compute_with(ini, solver=solver, precision=precision)
+                tol = 1e-4 if precision == "single" else 1e-6
+                stem = os.path.splitext(os.path.basename(ini))[0]
+                if gold is not None:
+                    x = readdlm(os.path.join(DATA_DIR, "output_verify", gold))
+                    if stem.startswith("sgNetwork"):
+                        check_resistances(x[1:, 1:], r[1:, 1:], tol, label)
+                    else:
+                        check_resistances(x, r, tol, label)
+                compare_all_output(stem, is_single=(precision == "single"))
+                passed += 1
+                note(f"  PASS {label} [{solver}/{precision}]")
+            except Exception as e:
+                failures.append((label, f"{type(e).__name__}: {e}"))
+                note(f"  FAIL {label} [{solver}/{precision}]: "
+                     f"{type(e).__name__}: {e}")
+    finally:
+        os.chdir(cwd)
+    return passed, len(CASES), failures
+
+
+if __name__ == "__main__":
+    def note(m):
+        print(m, file=sys.stderr, flush=True)
+    try:
+        passed, total, failures = run_subset(note)
+    except Exception:
+        traceback.print_exc()
+        sys.exit(2)
+    print(f"tpu_golden: {passed}/{total} passed")
+    sys.exit(0 if passed == total else 1)
