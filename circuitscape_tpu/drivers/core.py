@@ -53,6 +53,27 @@ class GraphProblem:
     solver: object
 
 
+def _focal_in_comp(fp, comp_sorted):
+    """Boolean mask: which focal node ids lie in the (sorted) component.
+    searchsorted instead of per-node set membership — components hold
+    ~10^6 nodes at benchmark scale and the Python-set version dominated
+    the host profile."""
+    fp = np.asarray(fp, np.int64)
+    comp_sorted = np.asarray(comp_sorted)
+    if comp_sorted.size == 0:
+        return np.zeros(fp.shape, bool)
+    idx = np.searchsorted(comp_sorted, fp)
+    idx_c = np.minimum(idx, comp_sorted.size - 1)
+    return (idx < comp_sorted.size) & (comp_sorted[idx_c] == fp)
+
+
+def _sub_focal(fp, comp_sorted):
+    """Unique focal node ids inside the component, in first-occurrence
+    order (the reference's `sub_fp` semantics)."""
+    mask = _focal_in_comp(fp, comp_sorted)
+    return list(dict.fromkeys(int(x) for x in np.asarray(fp)[mask]))
+
+
 def get_num_pairs(ccs, fp, exclude_pairs, user_points=None):
     """Count pair solves (src/core.jl:537-561)."""
     if user_points is None:
@@ -60,8 +81,7 @@ def get_num_pairs(ccs, fp, exclude_pairs, user_points=None):
     num = 0
     g2u = {int(fp[i]): int(user_points[i]) for i in range(len(fp))}
     for cc in ccs:
-        cset = set(int(x) for x in cc)
-        sub_fp = list(dict.fromkeys(int(x) for x in fp if int(x) in cset))
+        sub_fp = _sub_focal(fp, np.sort(np.asarray(cc)))
         l = len(sub_fp)
         for ii in range(l):
             for jj in range(ii + 1, l):
@@ -79,8 +99,7 @@ def get_num_pairs_shortcut(ccs, fp, exclude_pairs, user_points=None):
     num = 0
     g2u = {int(fp[i]): int(user_points[i]) for i in range(len(fp))}
     for cc in ccs:
-        cset = set(int(x) for x in cc)
-        sub_fp = list(dict.fromkeys(int(x) for x in fp if int(x) in cset))
+        sub_fp = _sub_focal(fp, np.sort(np.asarray(cc)))
         if not sub_fp:
             continue
         pt1 = sub_fp[0]
@@ -159,8 +178,7 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
 
     for comp in prob.cc:
         comp = np.sort(np.asarray(comp))
-        cset = set(int(x) for x in comp)
-        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        csub = _sub_focal(points, comp)
         if not csub:
             continue
 
@@ -353,8 +371,7 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
     col_meta = []   # flat: (comp_id, src_node, dst_node)
     for comp_id, comp in enumerate(prob.cc):
         comp = np.sort(np.asarray(comp))
-        cset = set(int(x) for x in comp)
-        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        csub = _sub_focal(points, comp)
         if not csub:
             continue
         src_node = csub[0]
@@ -408,7 +425,7 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                 src_indices = np.nonzero(points == src_node)[0]
                 # any point index mapping to dst_node reads the same value
                 resistance = float(Vp[col, dst_indices[0]])
-                in_comp = np.isin(points, comp)
+                in_comp = _focal_in_comp(points, comp)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     volt_col = 1.0 - Vp[col] / resistance
                 for c_i in src_indices:
@@ -483,8 +500,7 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     pair_list = []
     for comp in prob.cc:
         comp = np.sort(np.asarray(comp))
-        cset = set(int(x) for x in comp)
-        csub = list(dict.fromkeys(int(p) for p in points if int(p) in cset))
+        csub = _sub_focal(points, comp)
         for pi in range(len(csub)):
             src_node = csub[pi]
             src_indices = np.nonzero(points == src_node)[0]
@@ -584,7 +600,7 @@ def update_shortcut_resistances(anchor, sc, resistances, points, comp):
     at point x in the anchor->point2 solve."""
     voltmatrix = sc.voltmatrix
     shortcut = sc.shortcut_res
-    check = np.isin(points, comp)
+    check = _focal_in_comp(points, comp)  # comp arrives sorted
     l = resistances.shape[0]
     for pointx in range(l):
         if not check[pointx]:

@@ -288,6 +288,145 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
                              we.shape, 1.9)
 
 
+def _coarsen_planes_jnp(we, ws, wse, wne):
+    """Device-side 2x2 Galerkin coarsening step — the jnp mirror of
+    _coarsen_planes (same edge-parity routing), built from pads/slices
+    so the whole hierarchy setup can run as a few device dispatches
+    instead of host numpy passes over the fine grid."""
+    H, W = we.shape
+    if H % 2 or W % 2:
+        pads = ((0, H % 2), (0, W % 2))
+        we, ws, wse, wne = (jnp.pad(p, pads) for p in (we, ws, wse, wne))
+        H, W = we.shape
+    hc, wc = H // 2, W // 2
+
+    def patch(ip, jp, p):
+        return p[ip::2, jp::2][:hc, :wc]
+
+    cE = patch(0, 1, we) + patch(1, 1, we) + patch(0, 1, wse) + \
+        patch(1, 1, wne)
+    cS = patch(1, 0, ws) + patch(1, 1, ws) + patch(1, 0, wse)
+    cSE = patch(1, 1, wse)
+    cNE = patch(0, 1, wne)
+    # N edges from even-even NE entries land on the UPPER patch's S plane
+    n_up = patch(0, 0, wne)
+    cS = cS.at[:-1, :].add(n_up[1:, :])
+
+    col = jnp.arange(wc)
+    row = jnp.arange(hc)
+    cE = jnp.where(col[None, :] == wc - 1, 0.0, cE)
+    cS = jnp.where(row[:, None] == hc - 1, 0.0, cS)
+    cSE = jnp.where((row[:, None] == hc - 1) | (col[None, :] == wc - 1),
+                    0.0, cSE)
+    cNE = jnp.where((row[:, None] == 0) | (col[None, :] == wc - 1),
+                    0.0, cNE)
+    return cE, cS, cSE, cNE
+
+
+def _diag_from_planes_jnp(we, ws, wse, wne):
+    from .stencil import _sh
+    return (we + _sh(we[None], 0, 1)[0] +
+            ws + _sh(ws[None], 1, 0)[0] +
+            wse + _sh(wse[None], 1, 1)[0] +
+            wne + _sh(wne[None], -1, 1)[0])
+
+
+def _lam_device(we, ws, wse, wne, diag, inv, iters=12):
+    """Device power iteration for rho(D^-1 A) (the jnp mirror of
+    _estimate_lam_max; deterministic non-eigenvector start)."""
+    from .stencil import StencilOperator as _S, stencil_matvec
+    A = _S(we, ws, wse, wne, diag)
+    H, W = diag.shape
+    x = (jnp.sin(jnp.arange(H * W, dtype=diag.dtype) * 0.37)
+         .reshape(1, H, W) + 0.01)
+    x = x / jnp.sqrt(jnp.sum(x * x))
+
+    def body(_, carry):
+        x, lam = carry
+        y = inv[None] * stencil_matvec(A, x)
+        n = jnp.sqrt(jnp.sum(y * y))
+        lam = jnp.where(n == 0, jnp.asarray(2.0, diag.dtype), n)
+        return (y / (n + 1e-30), lam)
+
+    _, lam = jax.lax.fori_loop(0, iters, body,
+                               (x, jnp.asarray(2.0, diag.dtype)))
+    return jnp.minimum(lam * 1.05, 2.0)
+
+
+@partial(jax.jit, static_argnames=("nlevels", "est_mask", "pal_mask"))
+def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask):
+    """The WHOLE hierarchy setup in ONE device dispatch: per-level
+    coarsening, diagonals, Chebyshev lam estimates, and (when pal_mask
+    says so) the nine output-aligned Pallas planes.  Eager per-plane ops
+    here would each pay a host-tunnel roundtrip — fusing the build was
+    worth ~2 s/job at 1M cells."""
+    from .pallas_stencil import _expand_planes
+
+    out, lams = [], []
+    for lvl in range(nlevels):
+        diag = _diag_from_planes_jnp(we, ws, wse, wne)
+        inv = jnp.where(diag > 0,
+                        1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+        lam = (_lam_device(we, ws, wse, wne, diag, inv)
+               if est_mask[lvl] else jnp.asarray(2.0, diag.dtype))
+        pal = (_expand_planes(we, ws, wse, wne, diag)
+               if pal_mask[lvl] else None)
+        out.append((we, ws, wse, wne, diag, inv, pal))
+        lams.append(lam)
+        we, ws, wse, wne = _coarsen_planes_jnp(we, ws, wse, wne)
+    return out, jnp.stack(lams), jnp.stack([we, ws, wse, wne])
+
+
+def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
+                        max_levels=12,
+                        expand_pallas=False) -> GeoMgHierarchy:
+    """Hierarchy setup ON DEVICE from the (already uploaded) f32 fine
+    operator: coarsening, diagonals, lam estimates and optional Pallas
+    plane expansion all run as ONE jitted dispatch; only the per-level
+    lams and the tiny coarsest planes (<= coarse_cells) round-trip to
+    host (the dense pseudo-inverse builds there).  Replaces the host
+    coarsening passes + flat re-upload of build_geo_mg on the
+    single-device path (~0.5 s at 1M cells).
+
+    Levels above 64k cells use the Gershgorin-safe lam = 2.0 exactly
+    like the host build (_estimate_lam_max); smaller levels power-
+    iterate on device."""
+    shapes = []
+    H, W = S32.shape
+    while (H * W > coarse_cells and len(shapes) < max_levels and
+           min(H, W) >= 2):
+        shapes.append((H, W))
+        H, W = -(-H // 2), -(-W // 2)
+
+    est_mask = tuple(h * w <= 65536 for (h, w) in shapes)
+    if expand_pallas:
+        from .pallas_stencil import supported
+        pal_mask = tuple(supported((h, w), 4) for (h, w) in shapes)
+    else:
+        pal_mask = (False,) * len(shapes)
+
+    levels_raw, lams_dev, coarse_stack = _build_levels_device(
+        S32.we, S32.ws, S32.wse, S32.wne, len(shapes), est_mask, pal_mask)
+    lams = np.asarray(lams_dev, np.float64)   # one tiny download
+
+    from .pallas_stencil import PallasStencil
+    levels = []
+    for (we, ws, wse, wne, diag, inv, pal), lam, (h, w) in zip(
+            levels_raw, lams, shapes):
+        pobj = PallasStencil(*pal, H=h) if pal is not None else None
+        levels.append(GeoMgLevel(
+            StencilOperator(we, ws, wse, wne, diag, pobj), inv,
+            float(lam)))
+
+    cwe, cws, cwse, cwne = np.asarray(coarse_stack,
+                                      np.float64)   # one download
+    dense = _dense_laplacian(cwe, cws, cwse, cwne)
+    empty = dense.diagonal() == 0
+    dense[empty, empty] = 1.0
+    pinv = jnp.asarray(_sym_pinv(dense), S32.diag.dtype)
+    return GeoMgHierarchy(tuple(levels), pinv, cwe.shape, 1.9)
+
+
 def _restrict(r):
     """2x2 patch sum (P^T); pads odd dims with zero."""
     B, H, W = r.shape

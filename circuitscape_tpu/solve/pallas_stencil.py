@@ -116,27 +116,38 @@ class PallasStencil:
 
     @classmethod
     def from_operator(cls, S: StencilOperator) -> "PallasStencil":
-        H, W = S.diag.shape
-        # pad to a 128-row multiple so every _pick_rows choice divides
-        Hp = pl.cdiv(H, 128) * 128
+        H = S.diag.shape[0]
+        return cls(*_expand_planes(S.we, S.ws, S.wse, S.wne, S.diag),
+                   H=H)
 
-        def padH(p):
-            return jnp.pad(p, ((0, Hp - H), (0, 0)))
 
-        def up(p):   # p[r] <- p[r-1]
-            return jnp.concatenate([jnp.zeros_like(p[:1]), p[:-1]], axis=0)
+@jax.jit
+def _expand_planes(we, ws, wse, wne, diag):
+    """All nine output-aligned planes in ONE device dispatch (eager
+    per-plane pads/concats cost a ~40 ms host roundtrip each on a
+    tunneled TPU — 15+ dispatches per hierarchy level added seconds to
+    every job)."""
+    H, W = diag.shape
+    # pad to a 128-row multiple so every _pick_rows choice divides
+    Hp = pl.cdiv(H, 128) * 128
 
-        def dn(p):   # p[r] <- p[r+1]
-            return jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+    def padH(p):
+        return jnp.pad(p, ((0, Hp - H), (0, 0)))
 
-        def west(p):  # p[:, j] <- p[:, j-1]
-            return jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]],
-                                   axis=1)
+    def up(p):   # p[r] <- p[r-1]
+        return jnp.concatenate([jnp.zeros_like(p[:1]), p[:-1]], axis=0)
 
-        we, ws, wse, wne, diag = (padH(S.we), padH(S.ws), padH(S.wse),
-                                  padH(S.wne), padH(S.diag))
-        return cls(we, west(we), ws, up(ws), wse, west(up(wse)),
-                   wne, west(dn(wne)), diag, H=H)
+    def dn(p):   # p[r] <- p[r+1]
+        return jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+
+    def west(p):  # p[:, j] <- p[:, j-1]
+        return jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]],
+                               axis=1)
+
+    we, ws, wse, wne, diag = (padH(we), padH(ws), padH(wse), padH(wne),
+                              padH(diag))
+    return (we, west(we), ws, up(ws), wse, west(up(wse)),
+            wne, west(dn(wne)), diag)
 
 
 def supported(S_shape, B) -> bool:

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .stencil import StencilOperator, _split_planes
-from .geomg import build_geo_mg, geomg_apply
+from .stencil import StencilOperator, _split_planes, _to_dtype
+from .geomg import build_geo_mg, build_geo_mg_device, geomg_apply
 
 
 def prepare_stencil_solver(planes, use_mg=True):
@@ -54,37 +54,18 @@ def prepare_stencil_solver(planes, use_mg=True):
 
     prec = prec_apply = None
     if use_mg and planes[0].size > 4096:
-        prec = build_geo_mg(planes_np=planes)
         if mesh is not None:
-            prec = shard_hierarchy(mesh, prec)
+            # sharded runs build on host and place levels explicitly
+            # (the Pallas kernel has no GSPMD partitioning — XLA path)
+            prec = shard_hierarchy(mesh, build_geo_mg(planes_np=planes))
         else:
-            prec = _attach_pallas(prec)
+            # single device: the whole hierarchy (and, on TPU, the
+            # fused-kernel plane sets) builds on device in one dispatch
+            # from the already-uploaded fine planes
+            import os
+            expand = (not os.environ.get("CS_NO_PALLAS") and
+                      jax.default_backend() == "tpu")
+            prec = build_geo_mg_device(_to_dtype(S64, jnp.float32),
+                                       expand_pallas=expand)
         prec_apply = geomg_apply
     return S64, prec, prec_apply, (H0, W0)
-
-
-def _attach_pallas(prec):
-    """Attach the fused Pallas plane set to every f32 hierarchy level at
-    a supported shape (single-device TPU runs only): the MG-CG loop's
-    matvecs and Chebyshev smoothing then run through the one-pass kernel
-    (~2.6x the XLA formulation's sustained nnz/s on v5e).  The Pallas
-    path is not used under GSPMD sharding (pallas_call has no automatic
-    partitioning) or on the CPU backend."""
-    import os
-
-    if os.environ.get("CS_NO_PALLAS") or jax.default_backend() != "tpu":
-        return prec
-    from .geomg import GeoMgHierarchy, GeoMgLevel
-    from .pallas_stencil import PallasStencil, supported
-
-    levels = []
-    for L in prec.levels:
-        A = L.A
-        H, W = A.diag.shape
-        # batch divisibility is re-checked per matvec at trace time
-        if supported((H, W), 4):
-            pal = PallasStencil.from_operator(A)
-            A = StencilOperator(A.we, A.ws, A.wse, A.wne, A.diag, pal)
-        levels.append(GeoMgLevel(A, L.inv_diag, L.lam_max))
-    return GeoMgHierarchy(tuple(levels), prec.coarse_pinv,
-                          prec.coarse_shape, prec.overcorrect)

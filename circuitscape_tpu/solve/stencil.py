@@ -748,6 +748,9 @@ def advanced_ground_penalty(S64: StencilOperator) -> float:
     return 1e8 * float(jnp.max(S64.diag))
 
 
+@partial(jax.jit, static_argnums=(1,))
 def _to_dtype(A: StencilOperator, dtype) -> StencilOperator:
+    """One-dispatch cast of all five planes (eager per-plane casts each
+    pay a host roundtrip on a tunneled TPU)."""
     return StencilOperator(*(p.astype(dtype) for p in
                              (A.we, A.ws, A.wse, A.wne, A.diag)))

@@ -42,9 +42,57 @@ def _menu(title, options, default=0, input_fn=input, print_fn=print):
         print_fn("  invalid choice")
 
 
-def _ask_path(prompt, input_fn=input, print_fn=print, must_exist=True):
+def _filepicker(prompt, input_fn=input, print_fn=print, start_dir="."):
+    """Interactive directory browser (src/INIBuilder/filepicker.jl
+    parity, numbered menus instead of arrow keys): directories first,
+    `1` always goes up, picking a file returns its path, and any typed
+    path is accepted directly."""
+    cur = os.path.abspath(start_dir)
     while True:
-        p = input_fn(f"{prompt}: ").strip()
+        try:
+            entries = sorted(os.listdir(cur))
+        except OSError as e:
+            print_fn(f"  cannot list {cur}: {e}")
+            parent = os.path.dirname(cur)
+            if parent == cur:
+                return _ask_path(prompt, input_fn, print_fn, browse=False)
+            cur = parent
+            continue
+        dirs = [e for e in entries
+                if os.path.isdir(os.path.join(cur, e))]
+        files = [e for e in entries
+                 if not os.path.isdir(os.path.join(cur, e))]
+        opts = ["../"] + [d + "/" for d in dirs] + files
+        print_fn(f"\n{prompt} — browsing {cur}")
+        for i, o in enumerate(opts):
+            print_fn(f"  {i + 1}. {o}")
+        raw = input_fn("pick a number, or type a path: ").strip()
+        if not raw:
+            continue
+        if raw.isdigit() and 1 <= int(raw) <= len(opts):
+            k = int(raw) - 1
+            if k == 0:
+                cur = os.path.dirname(cur) or cur
+            elif k <= len(dirs):
+                cur = os.path.join(cur, dirs[k - 1])
+            else:
+                return os.path.join(cur, files[k - 1 - len(dirs)])
+        else:
+            p = os.path.expanduser(raw)
+            if os.path.isdir(p):
+                cur = os.path.abspath(p)
+            elif os.path.exists(p):
+                return p
+            else:
+                print_fn(f"  '{p}' does not exist")
+
+
+def _ask_path(prompt, input_fn=input, print_fn=print, must_exist=True,
+              browse=True):
+    while True:
+        p = input_fn(f"{prompt} (? to browse): ").strip()
+        if browse and p == "?":
+            return _filepicker(prompt, input_fn, print_fn)
         if not p:
             print_fn("  a path is required")
             continue

@@ -113,6 +113,63 @@ def test_geomg_spd_on_heterogeneous_grids(seed):
     assert np.all(rel < 1e-4), f"PCG failed on pathological grid: {rel}"
 
 
+def test_device_mg_build_matches_host():
+    """build_geo_mg_device (one-dispatch on-device hierarchy setup) must
+    produce the same Galerkin hierarchy as the host numpy build — same
+    level shapes, same coarsened planes, same coarse pseudo-inverse,
+    lam estimates close to the host power iteration (different start
+    vectors, same spectrum)."""
+    import jax.numpy as jnp
+    from circuitscape_tpu.solve.geomg import (GeoMgHierarchy, GeoMgLevel,
+                                              build_geo_mg,
+                                              build_geo_mg_device,
+                                              geomg_apply)
+    from circuitscape_tpu.solve.stencil import (StencilOperator,
+                                                stencil_planes_np)
+
+    rng = np.random.default_rng(0)
+    g = rng.uniform(0.5, 3.0, (213, 187))
+    g[rng.random((213, 187)) < 0.1] = 0
+    planes = stencil_planes_np(g, False, False)
+    h_host = build_geo_mg(planes_np=planes)
+    S32 = StencilOperator(*(jnp.asarray(p, jnp.float32) for p in planes))
+    h_dev = build_geo_mg_device(S32)
+
+    assert len(h_host.levels) == len(h_dev.levels)
+    for Lh, Ld in zip(h_host.levels, h_dev.levels):
+        for nm in ("we", "ws", "wse", "wne", "diag"):
+            d = np.abs(np.asarray(getattr(Lh.A, nm)) -
+                       np.asarray(getattr(Ld.A, nm))).max()
+            assert d < 1e-3, (nm, d)
+    assert np.abs(np.asarray(h_host.coarse_pinv) -
+                  np.asarray(h_dev.coarse_pinv)).max() < 1e-6
+
+    # lam estimates agree with the host power iteration, and the
+    # lam-matched V-cycle applications agree to f32 precision
+    for Lh, Ld in zip(h_host.levels, h_dev.levels):
+        assert abs(Lh.lam_max - Ld.lam_max) < 0.1, (Lh.lam_max, Ld.lam_max)
+    h2 = GeoMgHierarchy(
+        tuple(GeoMgLevel(Lh.A, Lh.inv_diag, Ld.lam_max)
+              for Lh, Ld in zip(h_host.levels, h_dev.levels)),
+        h_host.coarse_pinv, h_host.coarse_shape, h_host.overcorrect)
+    x = jnp.asarray(rng.standard_normal((3, 213, 187)), jnp.float32)
+    a = np.asarray(geomg_apply(h2, x))
+    b = np.asarray(geomg_apply(h_dev, x))
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+    # and the device-built hierarchy still preconditions a solve
+    from scipy.ndimage import label
+    from circuitscape_tpu.solve.stencil import stencil_solve_pairs
+    S64 = StencilOperator(*(jnp.asarray(p, jnp.float64) for p in planes))
+    lab, _ = label(g > 0, structure=np.ones((3, 3)))
+    main = np.argmax(np.bincount(lab.ravel())[1:]) + 1
+    cells = np.argwhere(lab == main)
+    X, rel, it = stencil_solve_pairs(S64, cells[:1], cells[-1:],
+                                     rtol=1e-6, prec=h_dev,
+                                     prec_apply=geomg_apply)
+    assert np.all(rel < 1e-4)
+
+
 @pytest.mark.skipif(not __import__("os").environ.get("CS_TPU_TESTS"),
                     reason="real-TPU test; set CS_TPU_TESTS=1")
 def test_pallas_matvec_real_tpu():

@@ -42,6 +42,33 @@ def test_wizard_runs_job(tmp_path, monkeypatch):
     assert os.path.isfile(tmp_path / "wiz_resistances.out")
 
 
+def test_filepicker_browse(tmp_path, monkeypatch):
+    """The interactive picker (filepicker.jl parity): navigate into a
+    subdirectory by number, pick a file by number."""
+    monkeypatch.chdir(tmp_path)
+    sub = tmp_path / "data"
+    sub.mkdir()
+    target = sub / "cell.asc"
+    target.write_text("ncols 1\n")
+    (tmp_path / "zzz.txt").write_text("x")
+
+    # from tmp_path: entries are [../, data/, zzz.txt] -> pick 2 (data/),
+    # then inside: [../, cell.asc] -> pick 2 (the file)
+    answers = iter(["?", "2", "2"])
+    p = tui._ask_path("file", input_fn=lambda *_: next(answers),
+                      print_fn=lambda *a: None, browse=True)
+    assert os.path.samefile(p, target)
+
+
+def test_filepicker_typed_path(tmp_path):
+    target = tmp_path / "habitat.asc"
+    target.write_text("ncols 1\n")
+    answers = iter(["?", str(tmp_path), "2"])
+    p = tui._ask_path("file", input_fn=lambda *_: next(answers),
+                      print_fn=lambda *a: None, browse=True)
+    assert p == str(target)
+
+
 def test_wizard_writes_ini(tmp_path):
     cell = tmp_path / "cell.asc"
     pts = tmp_path / "pts.asc"
