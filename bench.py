@@ -127,10 +127,14 @@ def main():
             "unit": "s",
             "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
         }
-        if os.environ.get("CS_TPU_GOLDEN"):
-            from tpu_golden import run_subset
-            passed, total, failures = run_subset(note=_note)
-            result["tpu_golden"] = f"{passed}/{total}"
+        # golden-subset replay on the real backend (opt out: CS_TPU_GOLDEN=0)
+        if os.environ.get("CS_TPU_GOLDEN", "1") != "0":
+            try:
+                from tpu_golden import run_subset
+                passed, total, failures = run_subset(note=_note)
+                result["tpu_golden"] = f"{passed}/{total}"
+            except Exception as e:  # never lose the bench line
+                result["tpu_golden"] = f"error: {type(e).__name__}: {e}"
         print(json.dumps(result))
 
 

@@ -72,6 +72,38 @@ def test_solver_registry_extension(tmp_path):
     assert float(r[1, 2]) > 0
 
 
+def test_supernodal_matches_scalar_engine(monkeypatch):
+    """The BLAS-3 supernodal engine and the scalar up-looking engine
+    must produce identical solutions (they share symbolics but use
+    entirely different numeric phases)."""
+    from circuitscape_tpu.solve.native_chol import NativeCholesky
+
+    G = _grid_laplacian(30, seed=5)
+    eps = np.finfo(np.float64).eps
+    shifted = (G + sp.identity(G.shape[0]) * (10 * eps)).tocsc()
+    n = G.shape[0]
+    rng = np.random.default_rng(2)
+    rhs = np.zeros((n, 4))
+    for c in range(4):
+        i, j = rng.choice(n, 2, replace=False)
+        rhs[i, c], rhs[j, c] = 1.0, -1.0
+
+    x_super = NativeCholesky(shifted).solve(rhs)
+    monkeypatch.setenv("CS_CHOL_SCALAR", "1")
+    x_scalar = NativeCholesky(shifted).solve(rhs)
+    assert np.allclose(x_super - x_super[:1], x_scalar - x_scalar[:1],
+                       atol=1e-8)
+
+
+def test_chol_order_is_permutation():
+    from circuitscape_tpu.solve.native_chol import NativeCholesky
+
+    G = _grid_laplacian(25, seed=7)
+    eps = np.finfo(np.float64).eps
+    F = NativeCholesky((G + sp.identity(G.shape[0]) * (10 * eps)).tocsc())
+    assert np.array_equal(np.sort(F.perm), np.arange(G.shape[0]))
+
+
 def test_native_multi_rhs_matches_scipy():
     G = _grid_laplacian(16, seed=3)
     ctx = DirectContext(G, np.float64)

@@ -56,6 +56,64 @@ def test_device_path_matches_general(tmp_path, monkeypatch, scenario):
     assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
 
 
+@pytest.mark.parametrize("scenario", ["one-to-all", "all-to-one"])
+def test_device_path_variable_strengths(tmp_path, monkeypatch, scenario):
+    """VERDICT r1 item 7: the positional strengths indexing on the device
+    path (drivers/onetoall.py strengths[:npts, 1]) vs the general path's
+    per-point lookup — must agree, including the v/strength ratio in
+    one-to-all mode (src/raster/onetoall.jl:104-125)."""
+    d = _job(tmp_path, scenario, write_maps=True)
+    # non-uniform strengths, one per focal point id (1..6)
+    strengths = [(i, 0.5 + 0.75 * i) for i in range(1, 7)]
+    (tmp_path / "strengths.txt").write_text(
+        "\n".join(f"{i}\t{s}" for i, s in strengths) + "\n")
+    d["use_variable_source_strengths"] = "True"
+    d["variable_source_file"] = str(tmp_path / "strengths.txt")
+
+    monkeypatch.setenv("CS_ONETOALL_DEVICE_MIN", "100000000")  # force off
+    r_general = cs.compute(dict(d))
+    cum_general = np.loadtxt(tmp_path / "job_cum_curmap.asc", skiprows=6)
+
+    monkeypatch.setenv("CS_ONETOALL_DEVICE_MIN", "1")          # force on
+    d["output_file"] = str(tmp_path / "job2.out")
+    r_fast = cs.compute(dict(d))
+    cum_fast = np.loadtxt(tmp_path / "job2_cum_curmap.asc", skiprows=6)
+
+    assert np.allclose(np.asarray(r_general), np.asarray(r_fast),
+                       atol=1e-5), (r_general, r_fast)
+    assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
+
+
+@pytest.mark.parametrize("mode,pairs", [
+    ("exclude", [(1, 4), (2, 5)]),
+    ("include", [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6), (4, 6), (1, 6)]),
+])
+def test_pairwise_maps_device_included_pairs(tmp_path, monkeypatch,
+                                             mode, pairs):
+    """VERDICT r1 item 7: include/exclude pairs flowing through
+    _stencil_maps_solve (drivers/core.py) must match the general path —
+    resistances keep -1 for excluded pairs and the cumulative map only
+    accumulates solved pairs."""
+    d = _job(tmp_path, "pairwise", write_maps=True)
+    (tmp_path / "pairs.txt").write_text(
+        f"mode\t{mode}\n" + "\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    d["use_included_pairs"] = "True"
+    d["included_pairs_file"] = str(tmp_path / "pairs.txt")
+
+    monkeypatch.setenv("CS_PAIRWISE_DEVICE_MIN", "100000000")  # force off
+    r_general = cs.compute(dict(d))
+    cum_general = np.loadtxt(tmp_path / "job_cum_curmap.asc", skiprows=6)
+
+    monkeypatch.setenv("CS_PAIRWISE_DEVICE_MIN", "1")          # force on
+    d["output_file"] = str(tmp_path / "job2.out")
+    r_fast = cs.compute(dict(d))
+    cum_fast = np.loadtxt(tmp_path / "job2_cum_curmap.asc", skiprows=6)
+
+    assert np.allclose(np.asarray(r_general), np.asarray(r_fast),
+                       atol=1e-5), (r_general, r_fast)
+    assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
+
+
 def test_pairwise_maps_device_matches_general(tmp_path, monkeypatch):
     """Maps-on pairwise device path must match the general path:
     resistances, cum/max maps, and per-pair current + voltage maps."""
