@@ -71,6 +71,18 @@ def run_cold_warm(name, cfg_dict):
     return times[0], times[1]
 
 
+def guarded(records, fn):
+    """Run one scenario; on failure record the error and keep going so
+    one OOM/compile failure can't lose the rest of the table."""
+    try:
+        fn()
+    except Exception as e:
+        _note(f"  FAILED: {type(e).__name__}: {str(e)[:300]}")
+        records.append({"scenario": "FAILED", "error":
+                        f"{type(e).__name__}: {str(e)[:300]}"})
+        _dump(records)
+
+
 def bench_spmv_record():
     """Sustained SpMV nnz/s at the 1M-cell bench shape (in-jit loop so
     the tunnel dispatch latency doesn't pollute the number)."""
@@ -117,12 +129,16 @@ def main():
         "shortcut,maps,onetoall,advanced,network,spmv").split(","))
     rng = np.random.default_rng(42)
     records = []
+    if os.environ.get("CS_SUITE_APPEND") and os.path.exists(
+            "BENCH_SUITE.json"):
+        with open("BENCH_SUITE.json") as f:
+            records = json.load(f)
 
     precision_note = ("single-precision inner iterations, refined to "
                       "true f64 relres <= 1e-6")
 
     if "shortcut" in wanted:
-        for side in sizes:
+        def one_shortcut(side):
             with tempfile.TemporaryDirectory() as d:
                 make_raster(d, rng, side, 32)
                 cfg = {
@@ -148,6 +164,9 @@ def main():
                     rec["vs_cholmod_cold"] = round(chol / cold, 2)
                 records.append(rec)
                 _dump(records)
+
+        for side in sizes:
+            guarded(records, lambda side=side: one_shortcut(side))
 
     if "maps" in wanted:
         side = sizes[0]

@@ -151,9 +151,9 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
                                  stencil_node_currents, stencil_planes_np,
                                  stencil_solve_advanced_batch)
 
-    if (not flags.is_raster or prob.polymap.size or
-            cfg.solver != "cg+amg" or prob.check_node != -1 or
-            flags.is_onetoall or flags.is_alltoone):
+    if (not flags.is_raster or cfg.solver != "cg+amg" or
+            prob.check_node != -1 or flags.is_onetoall or
+            flags.is_alltoone):
         return None
     min_cells = int(os.environ.get("CS_ADVANCED_DEVICE_MIN", "40000"))
     if prob.cellmap.size < min_cells:
@@ -169,10 +169,18 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
                                flags.four_neighbors)
     S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
     Hp, Wp = S64.shape
+    from ..solve.stencil import build_poly_projector
+    proj = (build_poly_projector(nodemap, S64.shape)
+            if prob.polymap.size else None)
 
     n = prob.G.shape[0]
     rr, cc_ = np.nonzero(nodemap)
     node_ids = nodemap[rr, cc_]
+    # member-cell count per node: per-cell source/ground values are the
+    # merged node's total divided by its size, so polygon sums recover
+    # the reference's merged-node totals exactly
+    node_count = np.bincount(node_ids, minlength=n + 1).astype(np.float64)
+    node_count[node_count == 0] = 1.0
 
     sources = np.asarray(prob.sources, np.float64)
     grounds = np.asarray(prob.grounds, np.float64)
@@ -203,11 +211,13 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     inf_mask = np.isinf(grounds)
     pen_vec = np.where(inf_mask, penalty, finite)
 
-    # vectors -> grids (one column)
+    # vectors -> grids (one column); merged nodes spread their total
+    # over member cells (total/size each)
+    inv_cnt = 1.0 / node_count[node_ids]
     src_grid = np.zeros((H, W))
     pen_grid = np.zeros((H, W))
-    src_grid[rr, cc_] = src_vec[node_ids - 1]
-    pen_grid[rr, cc_] = pen_vec[node_ids - 1]
+    src_grid[rr, cc_] = src_vec[node_ids - 1] * inv_cnt
+    pen_grid[rr, cc_] = pen_vec[node_ids - 1] * inv_cnt
 
     sc = np.column_stack([rr, cc_])
     X, rel, iters = stencil_solve_advanced_batch(
@@ -215,7 +225,7 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
         sc[None], src_grid[rr, cc_][None],
         sc[None], pen_grid[rr, cc_][None],
         rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-        prec=prec, prec_apply=geomg_apply)
+        prec=prec, prec_apply=geomg_apply, proj=proj)
     if np.any(rel >= consts.RESIDUAL_GATE):
         raise SolverFailedError(
             f"advanced device solve residual {float(rel.max())} exceeds "
@@ -227,14 +237,15 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     outcurr = np.zeros((H, W), dtype)
     if force_currents or of.write_cur_maps or of.write_cum_cur_map_only:
         if fg_sentinel:
-            ncur = stencil_node_currents(S64, X)[0]
+            ncur = stencil_node_currents(S64, X, proj=proj)[0]
         else:
             # finite-ground diagonal current terms (penalty cells are
             # the reference's deleted nodes — excluded from the term)
             fin_grid = np.zeros((Hp, Wp))
             fin_grid[rr, cc_] = np.where(inf_mask, 0.0,
-                                         finite)[node_ids - 1]
-            ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid))[0]
+                                         finite)[node_ids - 1] * inv_cnt
+            ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid),
+                                          proj=proj)[0]
         outcurr = np.asarray(ncur, dtype)[:H, :W]
         if of.write_cur_maps or of.write_cum_cur_map_only:
             out.write_grid(outcurr.copy(), "", cfg, prob.hbmeta,
@@ -246,13 +257,13 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     return volt, outcurr
 
 
-def _node_currents_with_fg(S, V, fg_grid):
+def _node_currents_with_fg(S, V, fg_grid, proj=None):
     """Node currents including the finite-ground diagonal terms
     (src/out.jl:193-206): inflow += relu(-fg*v), outflow += relu(fg*v),
     node current = max of the two."""
     import jax.numpy as jnp
 
-    from ..solve.stencil import _sh
+    from ..solve.stencil import _sh, poly_sum
 
     dirs = [(0, 1, S.we), (0, -1, _sh(S.we[None], 0, 1)[0]),
             (1, 0, S.ws), (-1, 0, _sh(S.ws[None], 1, 0)[0]),
@@ -275,6 +286,9 @@ def _node_currents_with_fg(S, V, fg_grid):
     fgv = fg_grid[None] * V
     inflow = inflow + jnp.maximum(-fgv, 0.0)
     outflow = outflow + jnp.maximum(fgv, 0.0)
+    if proj is not None:
+        inflow = poly_sum(proj, inflow)
+        outflow = poly_sum(proj, outflow)
     return jnp.maximum(inflow, outflow)
 
 

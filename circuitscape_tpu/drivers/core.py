@@ -14,6 +14,7 @@ reduction) runs over the batch axis without locks.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 
 import numpy as np
@@ -147,13 +148,14 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
     # TPU fast path: a raster without polygons is exactly a stencil, so
     # the whole grid solves as dense shifted-plane CG — all components
     # and all pairs in one batched device solve, no sparse submatrix
-    # extraction.  Shortcut mode always takes it; maps-on jobs take the
-    # device maps variant above a size threshold (tiny golden-corpus
+    # extraction.  Shortcut mode always takes it (polygons included —
+    # the polygon collapse is applied as the PolyProjector, the exact
+    # collapsed system); maps-on jobs take the device maps variant above
+    # a size threshold when there are no polygons (tiny golden-corpus
     # problems keep the general reference-parity path).
-    stencil_ok = (flags.is_raster and prob.polymap.size == 0 and
-                  not prob.solver.is_direct and prob.cellmap.size > 0 and
-                  prob.nodemap.size > 0)
-    if stencil_ok and get_shortcut:
+    stencil_base = (flags.is_raster and not prob.solver.is_direct and
+                    prob.cellmap.size > 0 and prob.nodemap.size > 0)
+    if stencil_base and get_shortcut:
         _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                                 shortcut_res, dtype, ckpt, done_pairs)
         ckpt.finish()
@@ -165,9 +167,8 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
         out.save_resistances(r, cfg)
         return r
 
-    import os as _os
     maps_min = int(_os.environ.get("CS_PAIRWISE_DEVICE_MIN", "40000"))
-    if stencil_ok and prob.cellmap.size >= maps_min:
+    if stencil_base and prob.cellmap.size >= maps_min:
         _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude)
         np.fill_diagonal(resistances, 0)
         op = np.asarray(orig_pts, dtype)
@@ -357,6 +358,11 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
     planes = stencil_planes_np(prob.cellmap, flags.avg_res,
                                flags.four_neighbors)
     S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    # polygon (short-circuit region) collapse as the exact projector
+    # (solve/stencil.py PolyProjector); None when the nodemap is 1:1
+    from ..solve.stencil import build_poly_projector
+    proj = (build_poly_projector(nodemap, S64.shape)
+            if prob.polymap.size else None)
 
     # invert the nodemap once: node id -> grid cell
     rr, cc_ = np.nonzero(nodemap)
@@ -394,9 +400,15 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     if pair_cols:
         nb = len(pair_cols)
-        # memory cap: ~8 live f64 (B, H, W) blocks under ~4 GiB
+        # memory cap: ~8 live f64 (B, H, W) blocks under the chunk
+        # budget.  Very large grids get a smaller budget — the operator
+        # + MG hierarchy + XLA loop temporaries already claim several GB
+        # of the 16 GB HBM there (a 12M-cell run OOM'd at the 4 GiB
+        # budget by ~0.25 GB).
         per_col = H * W * 8 * 8
-        step = max(1, min(_shortcut_chunk_cap, (4 << 30) // max(per_col, 1)))
+        budget = (4 << 30) if H * W <= 8_000_000 else (2 << 30)
+        budget = int(_os.environ.get("CS_SHORTCUT_CHUNK_BYTES", budget))
+        step = max(1, min(_shortcut_chunk_cap, budget // max(per_col, 1)))
         for s0 in range(0, nb, step):
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
@@ -404,7 +416,8 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
             dst_cells = np.asarray([c[1] for c in chunk], np.int64)
             X, relres, iters = stencil_solve_pairs(
                 S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-                itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply)
+                itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply,
+                proj=proj)
             if np.any(relres >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "
@@ -478,6 +491,9 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                                flags.four_neighbors)
     S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
     Hp, Wp = S64.shape   # >= (H, W) under a mesh; crop fetched maps
+    from ..solve.stencil import build_poly_projector
+    proj = (build_poly_projector(nodemap, S64.shape)
+            if prob.polymap.size else None)
 
     rr, cc_ = np.nonzero(nodemap)
     node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
@@ -532,7 +548,8 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
         dst_cells = np.asarray([node_cell[p[1]] for p in chunk], np.int64)
         X, rel, iters = stencil_solve_pairs(
             S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-            itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply)
+            itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply,
+            proj=proj)
         if np.any(rel >= consts.RESIDUAL_GATE):
             raise SolverFailedError(
                 f"CG solver did not converge: relative residual "
@@ -556,7 +573,7 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                     of.write_max_cur_maps)
         ncur = None
         if need_cur:
-            ncur = stencil_node_currents(S64, Xb)
+            ncur = stencil_node_currents(S64, Xb, proj=proj)
             if of.log_transform_maps or of.set_null_currents_to_nodata:
                 # match process_grid! per-map postprocess on device
                 nodata = prob.hbmeta.nodata

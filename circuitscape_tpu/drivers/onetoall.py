@@ -66,8 +66,7 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     hbmeta = data.hbmeta
     rows, cols, pts = points_rc
 
-    if (data.polymap.size or not data.included_pairs.isempty() or
-            cfg.solver != "cg+amg" or
+    if (not data.included_pairs.isempty() or cfg.solver != "cg+amg" or
             len(pts) != len(np.unique(pts))):
         return None
     min_cells = int(os.environ.get("CS_ONETOALL_DEVICE_MIN", "40000"))
@@ -85,11 +84,31 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
     S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
 
-    # component label per focal point (grid components)
-    from .raster import _grid_components
-    nodemap = build.construct_node_map(gmap, np.zeros((0, 0), np.int64))
-    comps = _grid_components(gmap, nodemap, flags.four_neighbors)
+    # nodemap with polygon (short-circuit region) merging, matching the
+    # general path's graph build (src/raster/onetoall.jl:86-90); the
+    # collapse solves via the PolyProjector on the stencil operator
+    from ..solve.stencil import build_poly_projector
+    if data.polymap.size:
+        point_map = np.zeros(gmap.shape, np.int64)
+        for x in range(len(pts)):
+            point_map[rows[x] - 1, cols[x] - 1] = pts[x]
+        newpoly = build.create_new_polymap(gmap, data.polymap, points_rc,
+                                           0, 0, point_map)
+        nodemap = build.construct_node_map(gmap, newpoly)
+        proj = build_poly_projector(nodemap, S64.shape)
+        # polygons can bridge spatially disjoint regions: use the merged
+        # graph's components, not grid labeling
+        a = build.construct_graph(gmap, nodemap, flags.avg_res,
+                                  flags.four_neighbors)
+        comps = build.components(a)
+    else:
+        from .raster import _grid_components
+        nodemap = build.construct_node_map(gmap, np.zeros((0, 0), np.int64))
+        proj = None
+        comps = _grid_components(gmap, nodemap, flags.four_neighbors)
     node_of = [int(nodemap[rows[i] - 1, cols[i] - 1]) for i in range(len(pts))]
+    if len(set(node_of)) != len(node_of):
+        return None   # points merged into one node: general path handles
     comp_of = np.full(len(pts), -1)
     for ci, comp in enumerate(comps):
         cset = set(int(x) for x in comp)
@@ -135,7 +154,7 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
             S64, src_cells[idx_active], src_vals[idx_active],
             gnd_cells[idx_active], gnd_vals[idx_active],
             rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-            prec=prec, prec_apply=geomg_apply)
+            prec=prec, prec_apply=geomg_apply, proj=proj)
         if np.any(rel >= consts.RESIDUAL_GATE):
             raise SolverFailedError(
                 f"one-to-all device solve residual {float(rel.max())} "
@@ -153,7 +172,7 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                 res[i] = 0.0
 
         if of.write_cur_maps or of.write_cum_cur_map_only:
-            ncur = stencil_node_currents(S64, X)
+            ncur = stencil_node_currents(S64, X, proj=proj)
             if of.write_cur_maps:
                 cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))[:H, :W]
                 if of.write_max_cur_maps:

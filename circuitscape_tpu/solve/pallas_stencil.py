@@ -45,16 +45,22 @@ BBLK = 4     # batch columns per grid step
 
 def _pick_rows(W: int) -> int:
     """Largest row-slab height whose VMEM footprint (9 double-buffered
-    plane blocks + double-buffered out block + halo scratch) stays well
-    under the 16 MB scoped-vmem limit."""
+    plane blocks + double-buffered out block + halo scratch + Mosaic
+    compute temporaries for the 9-term accumulation) stays well under
+    the 16 MB scoped-vmem limit.  Returns 0 if no slab height fits —
+    the caller must fall back to the XLA matvec.  (The temporary term
+    and the 8 MB budget were calibrated against a real-chip compile
+    failure: at W=2450, rows=32 the compiler reported an 18.1 MB scoped
+    allocation against the naive 10 MB estimate.)"""
     Wp2 = -(-(W + 2) // 128) * 128
     for rows in (128, 64, 32, 16, 8):
         vmem = (9 * 2 * rows * W * 4 +          # plane blocks
                 2 * BBLK * rows * W * 4 +       # out blocks
-                BBLK * (rows + 16) * Wp2 * 4)   # halo scratch
-        if vmem <= 12 * 2**20:
+                BBLK * (rows + 16) * Wp2 * 4 +  # halo scratch
+                4 * BBLK * rows * W * 4)        # accumulation temps
+        if vmem <= 8 * 2**20:
             return rows
-    return 8
+    return 0
 
 
 def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
@@ -152,7 +158,8 @@ def _expand_planes(we, ws, wse, wne, diag):
 
 def supported(S_shape, B) -> bool:
     H, W = S_shape
-    return H >= 64 and W <= 4094 and B % BBLK == 0
+    return (H >= 64 and W <= 4094 and B % BBLK == 0 and
+            _pick_rows(W) > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

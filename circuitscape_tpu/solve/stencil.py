@@ -69,6 +69,93 @@ class StencilOperator:
         return 2 * edges + int(np.count_nonzero(np.asarray(self.diag)))
 
 
+@jax.tree_util.register_pytree_node_class
+class PolyProjector:
+    """Polygon (short-circuit region) collapse for the stencil solve.
+
+    The reference merges polygon cells into one graph node before
+    building the Laplacian (src/raster/pairwise.jl:283-314 relabeling);
+    the stencil operator cannot express merged nodes, so the collapse is
+    applied as the orthogonal projector Pi = P (P^T P)^-1 P^T onto
+    polygon-constant grid fields (P = cell->reduced-node incidence).
+    Running CG with the operator Pi L Pi on range(Pi) solves the EXACT
+    collapsed system P^T L P v = P^T b in the (P^T P)-weighted inner
+    product — identical answers to the reference's merged-node graph,
+    while the hot matvec stays the dense-shaped stencil kernel.
+
+    Pi itself costs one small segment-sum + gather per application:
+    seg maps each polygon cell to its polygon id (all other cells map to
+    a trash slot whose inv_count is 0), so num_segments is the polygon
+    count, not the node count.
+    """
+
+    def __init__(self, seg, inv_counts, nseg: int):
+        self.seg = seg                # (H*W,) int32
+        self.inv_counts = inv_counts  # (nseg,) f64; trash slot = 0.0
+        self.nseg = nseg              # static
+
+    def tree_flatten(self):
+        return (self.seg, self.inv_counts), (self.nseg,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+def build_poly_projector(nodemap: np.ndarray, shape=None):
+    """PolyProjector from a nodemap whose merged (polygon) nodes cover
+    more than one cell; None when the nodemap has no merged nodes.
+
+    shape: padded (H, W) of the device operator when it exceeds the
+    nodemap's (mesh padding); padded cells map to the trash slot."""
+    active = nodemap > 0
+    ids, counts = np.unique(nodemap[active], return_counts=True)
+    shared = ids[counts > 1]
+    if shared.size == 0:
+        return None
+    npoly = shared.size
+    H, W = nodemap.shape
+    Hp, Wp = shape if shape is not None else (H, W)
+    nm = np.zeros((Hp, Wp), nodemap.dtype)
+    nm[:H, :W] = nodemap
+    flat = nm.ravel()
+    pos = np.searchsorted(shared, flat)
+    pos = np.clip(pos, 0, npoly - 1)
+    is_poly = (shared[pos] == flat) & (flat > 0)
+    seg = np.where(is_poly, pos, npoly).astype(np.int32)
+    inv_counts = np.concatenate([1.0 / counts[counts > 1],
+                                 np.zeros(1)]).astype(np.float64)
+    return PolyProjector(jnp.asarray(seg), jnp.asarray(inv_counts),
+                         int(npoly) + 1)
+
+
+def poly_project(proj: PolyProjector, y: jnp.ndarray) -> jnp.ndarray:
+    """Apply Pi to a (B, H, W) block: polygon cells take their polygon
+    mean, all other cells pass through."""
+    B, H, W = y.shape
+    flat = y.reshape(B, H * W)
+    sums = jax.vmap(
+        lambda r: jax.ops.segment_sum(r, proj.seg,
+                                      num_segments=proj.nseg))(flat)
+    means = sums * proj.inv_counts.astype(y.dtype)[None]
+    corr = jnp.take(means, proj.seg, axis=1)
+    is_poly = (proj.seg < proj.nseg - 1)[None]
+    return jnp.where(is_poly, corr, flat).reshape(B, H, W)
+
+
+def poly_sum(proj: PolyProjector, y: jnp.ndarray) -> jnp.ndarray:
+    """Polygon cells take their polygon SUM (broadcast to members);
+    all other cells pass through.  Used for merged-node current maps."""
+    B, H, W = y.shape
+    flat = y.reshape(B, H * W)
+    sums = jax.vmap(
+        lambda r: jax.ops.segment_sum(r, proj.seg,
+                                      num_segments=proj.nseg))(flat)
+    corr = jnp.take(sums.astype(y.dtype), proj.seg, axis=1)
+    is_poly = (proj.seg < proj.nseg - 1)[None]
+    return jnp.where(is_poly, corr, flat).reshape(B, H, W)
+
+
 @jax.jit
 def _split_planes(stacked):
     return StencilOperator(stacked[0], stacked[1], stacked[2],
@@ -246,12 +333,12 @@ _stencil_matvec_jit = jax.jit(stencil_matvec)
 
 
 @jax.jit
-def _penalized_matvec_jit(A, x, pen):
-    return stencil_matvec(A, x) + pen * x
+def _apply_op_jit(A, x, pen, proj=None):
+    return _apply_op(A, x, pen, proj)
 
 
 def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
-                          cutoff=1e-8) -> jnp.ndarray:
+                          cutoff=1e-8, proj=None) -> jnp.ndarray:
     """Node current maps from voltage blocks, on device.
 
     Mirrors the reference's node current = max(inflow, outflow) with
@@ -287,20 +374,33 @@ def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
         f = jnp.where(jnp.abs(f) < thr, 0.0, f)
         inflow = inflow + jnp.maximum(f, 0.0)
         outflow = outflow + jnp.maximum(-f, 0.0)
+    if proj is not None:
+        # merged (polygon) nodes: the node current is the merged node's
+        # TOTAL in/outflow, broadcast to every member cell (the reference
+        # computes currents on the collapsed graph and writes
+        # current[nodemap[cell]]).  Internal polygon edges carry zero
+        # flow (equal voltages), so summing the per-cell flows over the
+        # polygon gives exactly the merged node's external flows.
+        inflow = poly_sum(proj, inflow)
+        outflow = poly_sum(proj, outflow)
     return jnp.maximum(inflow, outflow)
 
 
-def _apply_op(A, x, pen):
+def _apply_op(A, x, pen, proj=None):
     """Operator application with an optional per-column diagonal
     penalty field (B, H, W) — the batched-Dirichlet mechanism for
-    advanced/one-to-all grounds."""
+    advanced/one-to-all grounds — and an optional polygon projector
+    (x is maintained in range(Pi); projecting the output keeps the
+    iteration on the exact collapsed system)."""
     y = stencil_matvec(A, x)
     if pen is not None:
         y = y + pen * x
+    if proj is not None:
+        y = poly_project(proj, y)
     return y
 
 
-def _make_prec_apply(A, prec, prec_apply, pen):
+def _make_prec_apply(A, prec, prec_apply, pen, proj=None):
     """Preconditioner application closure shared by the CG init and
     loop (they must apply the IDENTICAL operator for CG to be valid).
 
@@ -318,22 +418,27 @@ def _make_prec_apply(A, prec, prec_apply, pen):
         inv_diag = jnp.where(A.diag > 0,
                              1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
         if pen is None:
-            return lambda r: inv_diag[None] * r
-        return lambda r: inv_pen * r
-    if pen is None:
-        return lambda r: prec_apply(prec, r)
+            base = lambda r: inv_diag[None] * r
+        else:
+            base = lambda r: inv_pen * r
+    elif pen is None:
+        base = lambda r: prec_apply(prec, r)
+    else:
+        def base(r):
+            r_in = jnp.where(pen > 0, 0.0, r)
+            z = prec_apply(prec, r_in)
+            return jnp.where(pen > 0, r * inv_pen, z)
 
-    def apply_M(r):
-        r_in = jnp.where(pen > 0, 0.0, r)
-        z = prec_apply(prec, r_in)
-        return jnp.where(pen > 0, r * inv_pen, z)
-
-    return apply_M
+    if proj is None:
+        return base
+    # Pi M Pi is SPD on range(Pi) (inputs are already in range(Pi), so
+    # only the output projection is applied)
+    return lambda r: poly_project(proj, base(r))
 
 
 def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
-                   prec_apply=None, pen=None):
-    Z = _make_prec_apply(A, prec, prec_apply, pen)(B)
+                   prec_apply=None, pen=None, proj=None):
+    Z = _make_prec_apply(A, prec, prec_apply, pen, proj)(B)
     R = B
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
     return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
@@ -344,16 +449,14 @@ _cg_state_init_jit = jax.jit(_cg_state_init, static_argnames=("prec_apply",))
 
 
 def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
-             prec_apply=None, pen=None):
+             prec_apply=None, pen=None, proj=None):
     """while_loop running until convergence, stall, itmax, or k_stop
     (the per-device-call step budget for the chunked driver).
 
     prec/prec_apply: preconditioner state pytree + static apply
     callable (e.g. the geometric-multigrid V-cycle, solve/geomg.py);
     defaults to Jacobi."""
-    inv_diag = jnp.where(A.diag > 0,
-                         1.0 / jnp.where(A.diag == 0, 1.0, A.diag), 1.0)
-    apply_M = _make_prec_apply(A, prec, prec_apply, pen)
+    apply_M = _make_prec_apply(A, prec, prec_apply, pen, proj)
 
     def not_done(carry):
         X, R, Z, P, rz, k, best, since = carry
@@ -365,7 +468,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
 
     def body(carry):
         X, R, Z, P, rz, k, best, since = carry
-        AP = _apply_op(A, P, pen)
+        AP = _apply_op(A, P, pen, proj)
         pAp = jnp.sum(P * AP, axis=(-2, -1))
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         X = X + alpha[:, None, None] * P
@@ -375,7 +478,7 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
         # costs 1 extra matvec every 64 iterations.
         R = jax.lax.cond(
             (k + 1) % 64 == 0,
-            lambda: B - _apply_op(A, X, pen),
+            lambda: B - _apply_op(A, X, pen, proj),
             lambda: R)
         Z = apply_M(R)
         rz_new = jnp.sum(R * Z, axis=(-2, -1))
@@ -409,21 +512,21 @@ def stencil_cg_device(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
 
 @partial(jax.jit, static_argnames=("chunk", "prec_apply"))
 def _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax, prec=None,
-              prec_apply=None, pen=None):
+              prec_apply=None, pen=None, proj=None):
     k0 = state[5]
     return _cg_loop(A, B, state, tol, safe_bnorm, k0 + chunk, itmax,
-                    prec, prec_apply, pen)
+                    prec, prec_apply, pen, proj)
 
 
 @partial(jax.jit)
-def _true_relres(A, B, X, safe_bnorm):
-    return jnp.sqrt(jnp.sum((B - stencil_matvec(A, X)) ** 2,
-                            axis=(-2, -1))) / safe_bnorm
+def _true_relres(A, B, X, safe_bnorm, proj=None):
+    R = B - _apply_op(A, X, None, proj)
+    return jnp.sqrt(jnp.sum(R ** 2, axis=(-2, -1))) / safe_bnorm
 
 
 def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
                itmax=100_000, chunk=512, prec=None, prec_apply=None,
-               pen=None):
+               pen=None, proj=None):
     """Chunked Jacobi-CG driver: the loop runs on device in bounded
     bursts of `chunk` iterations, with a host check between bursts.
 
@@ -441,10 +544,10 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     eps_floor = 32 * jnp.finfo(jnp.asarray(B).dtype).eps
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
-    state = _cg_state_init_jit(A, B, prec, prec_apply, pen)
+    state = _cg_state_init_jit(A, B, prec, prec_apply, pen, proj)
     while True:
         state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
-                          prec, prec_apply, pen)
+                          prec, prec_apply, pen, proj)
         k = int(state[5])
         since = int(state[7])
         resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
@@ -452,7 +555,7 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
                 not np.any(resnorm > np.asarray(tol))):
             break
     X = state[0]
-    relres = _true_relres(A, B, X, safe_bnorm)
+    relres = _true_relres(A, B, X, safe_bnorm, proj)
     return X, relres, state[5]
 
 
@@ -504,7 +607,7 @@ def _extract_point_voltages(X, src_cells, point_cells):
 
 @partial(jax.jit, static_argnames=("prec_apply", "itmax", "mesh"))
 def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
-                       rtol, itmax, mesh=None):
+                       rtol, itmax, mesh=None, proj=None):
     """The WHOLE mixed-precision pair solve as one device execution:
     RHS scatter, f32 MG-CG to rtol, f64 true residual, one refinement
     pass at the SAME ABSOLUTE tolerance (so the touch-up solve stops
@@ -516,6 +619,11 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
     b_pad = sc.shape[0]
     H, W = S64.shape
     B64 = _pairs_rhs(sc, dc, H, W, b_pad)
+    if proj is not None:
+        # collapsed-system RHS: Pi b spreads the unit injection over the
+        # focal node's polygon (= P D^-1 b_reduced, the exact reduced
+        # RHS in this formulation)
+        B64 = poly_project(proj, B64)
     if mesh is not None:
         # pin the canonical layout: pairs over 'batch', grid rows over
         # 'nodes' — GSPMD derives the halo exchanges and psums from here
@@ -536,18 +644,18 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
         tol32 = jnp.maximum(tol64, 32 * jnp.finfo(jnp.float32).eps *
                             jnp.sqrt(jnp.sum(R32 * R32, axis=(-2, -1)))
                             ).astype(jnp.float32)
-        st = _cg_state_init(A_lo, R32, prec, prec_apply)
+        st = _cg_state_init(A_lo, R32, prec, prec_apply, None, proj)
         st = _cg_loop(A_lo, R32, st, tol32,
                       safe_bnorm.astype(jnp.float32), kcap, kcap,
-                      prec, prec_apply)
+                      prec, prec_apply, None, proj)
         return st[0].astype(jnp.float64), st[5]
 
     dX, it1 = one_pass(B64)
     X = dX
-    R = B64 - stencil_matvec(S64, X)
+    R = B64 - _apply_op(S64, X, None, proj)
     dX, it2 = one_pass(R)
     X = X + dX
-    R = B64 - stencil_matvec(S64, X)
+    R = B64 - _apply_op(S64, X, None, proj)
     rel = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
     Vp, _ = _extract_point_voltages(X, sc, point_cells)
     # one packed fetch: [rel (b_pad) | iters (1) | Vp (b_pad*npts)]
@@ -559,7 +667,8 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
 
 def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
                         dst_cells: np.ndarray, rtol=1e-6, itmax=100_000,
-                        prec=None, prec_apply=None, max_refine=4):
+                        prec=None, prec_apply=None, max_refine=4,
+                        proj=None):
     """Device-resident mixed-precision pair solve.
 
     The RHS block is scattered on device from (row, col) index arrays;
@@ -573,13 +682,14 @@ def stencil_solve_pairs(S64: StencilOperator, src_cells: np.ndarray,
     nb = src_cells.shape[0]
     X, _, rel, iters = _fused_pair_solve(
         S64, src_cells, dst_cells, np.zeros((1, 2), np.int64),
-        rtol, itmax, prec, prec_apply, max_refine)
+        rtol, itmax, prec, prec_apply, max_refine, proj)
     return X, rel[:nb], iters
 
 
 def stencil_solve_pairs_points(S64: StencilOperator, src_cells, dst_cells,
                                point_cells, rtol=1e-6, itmax=100_000,
-                               prec=None, prec_apply=None, max_refine=4):
+                               prec=None, prec_apply=None, max_refine=4,
+                               proj=None):
     """Pair solve + focal-voltage extraction in one device roundtrip.
 
     Returns (X (f64 device, (b_pad, H, W)), Vp (np, (nb, npts)) —
@@ -587,12 +697,12 @@ def stencil_solve_pairs_points(S64: StencilOperator, src_cells, dst_cells,
     nb = src_cells.shape[0]
     X, Vp, rel, iters = _fused_pair_solve(
         S64, src_cells, dst_cells, point_cells, rtol, itmax, prec,
-        prec_apply, max_refine)
+        prec_apply, max_refine, proj)
     return X, Vp[:nb], rel[:nb], iters
 
 
 def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
-                      prec, prec_apply, max_refine):
+                      prec, prec_apply, max_refine, proj=None):
     """Single-dispatch fused solve with a chunked-driver fallback for
     the (rare) case two refinement passes don't reach rtol."""
     from ..parallel.mesh import mesh_of
@@ -628,7 +738,7 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
         A_lo = _to_dtype(S64, jnp.float32)
 
     X, packed = _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc,
-                                   pc, rtol, itmax, mesh)
+                                   pc, rtol, itmax, mesh, proj)
     packed = np.asarray(packed)   # the one fetch
     rel = packed[:b_pad]
     total_iters = int(packed[b_pad])
@@ -636,17 +746,19 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
 
     if not np.all(rel[:nb] <= rtol) and max_refine > 2:
         B = _pairs_rhs(sc, dc, H, W, b_pad)
+        if proj is not None:
+            B = poly_project(proj, B)
         bnorm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1)))
         safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
-        R = B - _stencil_matvec_jit(S64, X)
+        R = B - _apply_op_jit(S64, X, None, proj)
         for _ in range(max_refine - 2):
             inner = np.clip(rtol / np.where(rel == 0, 1.0, rel),
                             rtol, 0.05)
             dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                    itmax=itmax, prec=prec,
-                                   prec_apply=prec_apply)
+                                   prec_apply=prec_apply, proj=proj)
             X = X + dX.astype(jnp.float64)
-            R = B - _stencil_matvec_jit(S64, X)
+            R = B - _apply_op_jit(S64, X, None, proj)
             rel = np.asarray(
                 jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
             total_iters += int(it)
@@ -669,7 +781,7 @@ def _scatter_field(cells, vals, H, W):
 def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
                                  gnd_cells, gnd_vals, rtol=1e-6,
                                  itmax=100_000, prec=None, prec_apply=None,
-                                 max_refine=4):
+                                 max_refine=4, proj=None):
     """Batched advanced-mode solve: (G + diag(g)) v = s per column.
 
     Each column has its own sources (cells + strengths) and grounds
@@ -705,6 +817,12 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
                            jnp.asarray(src_vals, jnp.float64), H, W)
     pen64 = _scatter_field(jnp.asarray(gnd_cells, jnp.int32),
                            jnp.asarray(gnd_vals, jnp.float64), H, W)
+    if proj is not None:
+        # collapsed-system RHS (caller passes per-cell values that sum
+        # to the merged node's total, i.e. total/size per member cell —
+        # already polygon-constant; Pi is a no-op on such fields but is
+        # applied for safety with arbitrary callers)
+        B_rhs = poly_project(proj, B_rhs)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
         sh = NamedSharding(mesh, _P("batch", "nodes", None))
@@ -729,9 +847,9 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
             rtol / np.where(rel == 0, 1.0, rel), rtol, 0.05)
         dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                itmax=itmax, prec=prec,
-                               prec_apply=prec_apply, pen=pen32)
+                               prec_apply=prec_apply, pen=pen32, proj=proj)
         X = X + dX.astype(jnp.float64)
-        R = B_rhs - _penalized_matvec_jit(S64, X, pen64)
+        R = B_rhs - _apply_op_jit(S64, X, pen64, proj)
         rel = np.asarray(
             jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))) / safe_bnorm
         total_iters += int(it)

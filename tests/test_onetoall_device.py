@@ -193,3 +193,95 @@ def test_advanced_device_matches_general(tmp_path, monkeypatch):
     assert np.abs(np.asarray(v1) - np.asarray(v2)).max() < 1e-4
     assert ((cur1 - cur2) ** 2).sum() < 1e-6
     assert ((volt1 - volt2) ** 2).sum() < 1e-6
+
+
+def _poly_file(tmp_path, seed=13):
+    H = W = 80
+    rng = np.random.default_rng(seed)
+    g = np.loadtxt(tmp_path / "cell.asc", skiprows=6)
+    poly = np.zeros((H, W), int)
+    poly[10:16, 30:38] = 1
+    poly[55:65, 8:11] = 2
+    poly[63:65, 8:25] = 2
+    poly[g <= 0] = 0
+    hdr = (f"ncols {W}\nnrows {H}\nxllcorner 0\nyllcorner 0\n"
+           f"cellsize 1\nNODATA_value -9999\n")
+    (tmp_path / "poly.asc").write_text(
+        hdr + "\n".join(" ".join(str(v) for v in row) for row in poly))
+    return str(tmp_path / "poly.asc")
+
+
+@pytest.mark.parametrize("scenario", ["pairwise", "one-to-all", "all-to-one"])
+def test_device_path_polygons(tmp_path, monkeypatch, scenario):
+    """Short-circuit regions through the device paths (PolyProjector,
+    solve/stencil.py): resistances and cumulative maps must match the
+    general merged-node path."""
+    d = _job(tmp_path, scenario, write_maps=True)
+    d["polygon_file"] = _poly_file(tmp_path)
+
+    for var in ("CS_ONETOALL_DEVICE_MIN", "CS_PAIRWISE_DEVICE_MIN"):
+        monkeypatch.setenv(var, "100000000")               # force off
+    r_general = cs.compute(dict(d))
+    cum_general = np.loadtxt(tmp_path / "job_cum_curmap.asc", skiprows=6)
+
+    for var in ("CS_ONETOALL_DEVICE_MIN", "CS_PAIRWISE_DEVICE_MIN"):
+        monkeypatch.setenv(var, "1")                       # force on
+    d["output_file"] = str(tmp_path / "job2.out")
+    r_fast = cs.compute(dict(d))
+    cum_fast = np.loadtxt(tmp_path / "job2_cum_curmap.asc", skiprows=6)
+
+    assert np.allclose(np.asarray(r_general), np.asarray(r_fast),
+                       atol=1e-5), (r_general, r_fast)
+    assert ((cum_general - cum_fast) ** 2).sum() < 1e-6
+
+
+def test_advanced_device_polygons(tmp_path, monkeypatch):
+    """Advanced mode with polygons: merged-node sources/grounds via the
+    projector must match the general path (voltages + current map)."""
+    H = W = 80
+    rng = np.random.default_rng(21)
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.05] = -9999
+    hdr = (f"ncols {W}\nnrows {H}\nxllcorner 0\nyllcorner 0\n"
+           f"cellsize 1\nNODATA_value -9999\n")
+    (tmp_path / "cell.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in g))
+    poly = np.zeros((H, W), int)
+    poly[20:26, 20:28] = 1
+    poly[50:60, 60:63] = 2
+    poly[g <= 0] = 0
+    (tmp_path / "poly.asc").write_text(
+        hdr + "\n".join(" ".join(str(v) for v in row) for row in poly))
+    src = np.zeros((H, W))
+    gnd = np.full((H, W), -9999.0)
+    src[22, 23] = 2.5          # source inside polygon 1
+    src[5, 5] = 1.0 if g[5, 5] > 0 else 0.0
+    gnd[55, 61] = 1.5          # finite ground inside polygon 2
+    gnd[70, 40] = 0.0          # direct ground (resistance 0)
+    (tmp_path / "src.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in src))
+    (tmp_path / "gnd.asc").write_text(
+        hdr + "\n".join(" ".join(repr(float(v)) for v in row) for row in gnd))
+    d = {
+        "data_type": "raster", "scenario": "advanced",
+        "habitat_file": str(tmp_path / "cell.asc"),
+        "polygon_file": str(tmp_path / "poly.asc"),
+        "source_file": str(tmp_path / "src.asc"),
+        "ground_file": str(tmp_path / "gnd.asc"),
+        "ground_file_is_resistances": "True",
+        "output_file": str(tmp_path / "adv.out"),
+        "solver": "cg+amg",
+        "write_cur_maps": "True",
+        "write_volt_maps": "True",
+    }
+    monkeypatch.setenv("CS_ADVANCED_DEVICE_MIN", "100000000")
+    v1 = cs.compute(dict(d))
+    cur1 = np.loadtxt(tmp_path / "adv_curmap.asc", skiprows=6)
+
+    monkeypatch.setenv("CS_ADVANCED_DEVICE_MIN", "1")
+    d["output_file"] = str(tmp_path / "advd.out")
+    v2 = cs.compute(dict(d))
+    cur2 = np.loadtxt(tmp_path / "advd_curmap.asc", skiprows=6)
+
+    assert np.abs(np.asarray(v1) - np.asarray(v2)).max() < 1e-4
+    assert ((cur1 - cur2) ** 2).sum() < 1e-6

@@ -220,3 +220,88 @@ def test_pallas_matvec_interpret():
     y_pl = pallas_matvec(P, x, interpret=True)
     rel = float(jnp.max(jnp.abs(y_pl - y_ref))) / float(jnp.max(jnp.abs(y_ref)))
     assert rel < 1e-5
+
+
+def test_poly_projector_matches_collapsed_laplacian():
+    """CG with Pi L Pi (PolyProjector) must reproduce the EXACT
+    collapsed-graph solve the reference gets by merging polygon nodes
+    (src/raster/pairwise.jl:283-314): compare against a direct sparse
+    solve of P^T L P."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from circuitscape_tpu.graph import build
+    from circuitscape_tpu.solve.stencil import (build_poly_projector,
+                                                poly_project,
+                                                stencil_from_gmap,
+                                                stencil_solve_pairs)
+
+    rng = np.random.default_rng(9)
+    H = W = 40
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.05] = 0.0
+    poly = np.zeros((H, W), np.int64)
+    poly[5:9, 10:15] = 1
+    poly[25:31, 30:33] = 2
+    poly[g <= 0] = 0
+    gmap = np.where(g > 0, g, 0.0)
+
+    nodemap = build.construct_node_map(gmap, poly)
+    proj = build_poly_projector(nodemap)
+    assert proj is not None
+
+    # reference collapsed system: sparse Laplacian on merged node ids
+    a = build.construct_graph(gmap, nodemap, False, False)
+    L = build.laplacian(a).tocsr()
+
+    # pick src inside polygon 1, dst a plain cell
+    src_cell = (6, 12)
+    dst_cell = (35, 5)
+    assert poly[src_cell] == 1 and poly[dst_cell] == 0
+    src_node = int(nodemap[src_cell]) - 1
+    dst_node = int(nodemap[dst_cell]) - 1
+
+    n = L.shape[0]
+    b = np.zeros(n)
+    b[src_node] -= 1.0
+    b[dst_node] += 1.0
+    eps = np.finfo(np.float64).eps
+    Lr = (L + sp.identity(n) * (eps * np.linalg.norm(L.data))).tocsc()
+    v_ref = spla.spsolve(Lr, b)
+    r_ref = v_ref[dst_node] - v_ref[src_node]
+
+    S = stencil_from_gmap(gmap, False, False, np.float64)
+    X, rel, iters = stencil_solve_pairs(
+        S, np.asarray([src_cell]), np.asarray([dst_cell]), rtol=1e-8,
+        proj=proj)
+    Xn = np.asarray(X[0])
+    r_dev = Xn[dst_cell] - Xn[src_cell]
+    assert abs(r_dev - r_ref) < 1e-5, (r_dev, r_ref)
+    # solution constant over each polygon
+    for pid in (1, 2):
+        vals = Xn[poly == pid]
+        assert np.ptp(vals[np.asarray(gmap[poly == pid]) > 0]) < 1e-9
+
+
+def test_poly_project_is_projection():
+    from circuitscape_tpu.graph import build
+    from circuitscape_tpu.solve.stencil import (build_poly_projector,
+                                                poly_project)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    H = W = 24
+    gmap = rng.uniform(0.5, 3.0, (H, W))
+    poly = np.zeros((H, W), np.int64)
+    poly[3:7, 3:9] = 1
+    nodemap = build.construct_node_map(gmap, poly)
+    proj = build_poly_projector(nodemap)
+    y = jnp.asarray(rng.standard_normal((3, H, W)))
+    py = poly_project(proj, y)
+    ppy = poly_project(proj, py)
+    assert np.allclose(np.asarray(py), np.asarray(ppy))       # idempotent
+    # symmetric in the grid inner product
+    z = jnp.asarray(rng.standard_normal((3, H, W)))
+    lhs = float(jnp.sum(poly_project(proj, y) * z))
+    rhs = float(jnp.sum(y * poly_project(proj, z)))
+    assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
