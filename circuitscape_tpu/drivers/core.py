@@ -355,9 +355,11 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
     # (row-sharded over the active mesh when >1 device is visible).
     # Work precision is f32 (cast on device); outer refinement residuals
     # run in plain f64 device ops (solve/stencil.py stencil_solve_pairs).
-    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
-                               flags.four_neighbors)
-    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    with CSTIMER("build stencil planes"):
+        planes = stencil_planes_np(prob.cellmap, flags.avg_res,
+                                   flags.four_neighbors)
+    with CSTIMER("prepare stencil solver (upload + MG setup)"):
+        S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
     # polygon (short-circuit region) collapse as the exact projector
     # (solve/stencil.py PolyProjector); None when the nodemap is 1:1
     from ..solve.stencil import build_poly_projector
@@ -365,11 +367,12 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
             if prob.polymap.size else None)
 
     # invert the nodemap once: node id -> grid cell
-    rr, cc_ = np.nonzero(nodemap)
-    node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
-    node_cell[nodemap[rr, cc_]] = np.column_stack([rr, cc_])
-    point_cells = node_cell[np.asarray(points)]   # (npts, 2)
-    point_cells_dev = jnp.asarray(point_cells, jnp.int32)
+    with CSTIMER("invert nodemap"):
+        rr, cc_ = np.nonzero(nodemap)
+        node_cell = np.zeros((int(nodemap.max()) + 1, 2), np.int64)
+        node_cell[nodemap[rr, cc_]] = np.column_stack([rr, cc_])
+        point_cells = node_cell[np.asarray(points)]   # (npts, 2)
+        point_cells_dev = jnp.asarray(point_cells, jnp.int32)
 
     # Assemble anchor pairs per component
     jobs = []  # (comp_sorted, anchor_point_idx, [(src_node, dst_node, combos)])
@@ -414,10 +417,11 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
             bsz = len(chunk)
             src_cells = np.asarray([c[0] for c in chunk], np.int64)
             dst_cells = np.asarray([c[1] for c in chunk], np.int64)
-            X, relres, iters = stencil_solve_pairs(
-                S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-                itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply,
-                proj=proj)
+            with CSTIMER("batched pair solve"):
+                X, relres, iters = stencil_solve_pairs(
+                    S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+                    itmax=consts.CG_ITMAX, prec=prec,
+                    prec_apply=prec_apply, proj=proj)
             if np.any(relres >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "
@@ -590,6 +594,11 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                            np.asarray(jnp.max(ncur, axis=0), dtype)[:H, :W],
                            out=cum.max_curr)
 
+        # ONE device->host transfer per chunk (per-pair fetches each pay
+        # the full tunnel round-trip latency)
+        ncur_h = (np.asarray(ncur, dtype) if write_pair_files else None)
+        volt_h = (np.asarray(Xb, dtype) if of.write_volt_maps else None)
+
         for col, (src_node, dst_node, combos) in enumerate(chunk):
             resistance = float(rvals[col])
             for (c_i, c_j) in combos:
@@ -597,10 +606,10 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                 resistances[c_j, c_i] = resistance
                 name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
                 if write_pair_files:
-                    out.write_grid(np.asarray(ncur[col], dtype)[:H, :W],
+                    out.write_grid(ncur_h[col][:H, :W].copy(),
                                    name, cfg, prob.hbmeta)
                 if of.write_volt_maps:
-                    vm = np.asarray(Xb[col], dtype)[:H, :W]
+                    vm = volt_h[col][:H, :W].copy()
                     if of.set_null_voltages_to_nodata:
                         vm[prob.cellmap == 0] = prob.hbmeta.nodata
                     out.write_grid(vm, name, cfg, prob.hbmeta, voltage=True)

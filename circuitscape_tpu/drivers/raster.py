@@ -154,15 +154,22 @@ class LazyStencilGraph:
 def _grid_components(cellmap, nodemap, four_neighbors):
     """Connected components of the active-cell grid via ndimage labeling
     (equivalent to components of the stencil graph, at a fraction of the
-    sparse-matrix cost)."""
+    sparse-matrix cost).  Grouping is one argsort over the active cells —
+    a per-label boolean scan costs O(ncells) PER component, which
+    dominated multi-megacell jobs with thousands of small islands."""
     from scipy import ndimage
     structure = (np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
                  if four_neighbors else np.ones((3, 3), np.int64))
     labels, nlab = ndimage.label(cellmap > 0, structure=structure)
-    comps = []
-    for lab in range(1, nlab + 1):
-        nodes = nodemap[labels == lab]
-        comps.append(np.sort(nodes[nodes > 0]))
+    active = nodemap > 0
+    lab_flat = labels[active]
+    nodes_flat = nodemap[active]
+    order = np.argsort(lab_flat, kind="stable")
+    sorted_labs = lab_flat[order]
+    sorted_nodes = nodes_flat[order]
+    bounds = np.searchsorted(sorted_labs, np.arange(1, nlab + 2))
+    comps = [np.sort(sorted_nodes[bounds[i]:bounds[i + 1]])
+             for i in range(nlab) if bounds[i + 1] > bounds[i]]
     comps.sort(key=lambda c: c[0] if len(c) else 0)
     return comps
 

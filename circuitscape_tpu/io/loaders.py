@@ -214,7 +214,8 @@ def read_source_and_ground_maps(source_file: str, ground_file: str,
                                 dtype=np.float64):
     """Advanced-mode source/ground maps (src/io.jl:252-313)."""
     ftype = guess_file_type(ground_file)
-    if ftype in (consts.FILE_TYPE_AAGRID, consts.FILE_TYPE_GEOTIFF):
+    if ftype in (consts.FILE_TYPE_AAGRID, consts.FILE_TYPE_GEOTIFF,
+                 consts.FILE_TYPE_NPY):
         ground_map = read_polymap(ground_file, habitatmeta, nodata_as=-1,
                                   dtype=None).astype(dtype)
     elif ftype == consts.FILE_TYPE_TXTLIST:
@@ -227,7 +228,8 @@ def read_source_and_ground_maps(source_file: str, ground_file: str,
         raise ValueError("Cannot recognise file type.")
 
     ftype = guess_file_type(source_file)
-    if ftype in (consts.FILE_TYPE_AAGRID, consts.FILE_TYPE_GEOTIFF):
+    if ftype in (consts.FILE_TYPE_AAGRID, consts.FILE_TYPE_GEOTIFF,
+                 consts.FILE_TYPE_NPY):
         source_map = read_polymap(source_file, habitatmeta,
                                   dtype=None).astype(dtype)
         source_map[source_map == consts.NODATA] = 0

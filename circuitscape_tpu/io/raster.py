@@ -361,10 +361,6 @@ def grid_reader(path: str, dtype=np.float64):
     return arr, get_raster_meta(arr, wkt, transform)
 
 
-def _format_float(v: float) -> str:
-    return repr(float(v))
-
-
 def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
     """Write an ESRI ASCII grid in the GDAL AAIGrid layout."""
     nrows, ncols = arr.shape
@@ -376,6 +372,13 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
         fv = float(v)
         return str(int(fv)) if fv == int(fv) else repr(fv)
 
+    # one C-level %-format per ROW (12 significant digits, ~1e-12
+    # relative round-trip — far below every comparison tolerance);
+    # a per-value repr() loop cost ~1.2 s per 1M-cell map and dominated
+    # maps-on jobs that write hundreds of per-pair grids
+    row_fmt = " ".join(["%.12g"] * ncols)
+    body = "\n".join(row_fmt % tuple(row) for row in
+                     np.asarray(arr, np.float64))
     with open(path, "w") as f:
         f.write(f"ncols        {ncols}\n")
         f.write(f"nrows        {nrows}\n")
@@ -383,9 +386,8 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
         f.write(f"yllcorner    {fmt_hdr(yll)}\n")
         f.write(f"cellsize     {fmt_hdr(cellsize)}\n")
         f.write(f"NODATA_value  {fmt_hdr(nodata)}\n")
-        for row in arr:
-            f.write(" ".join(_format_float(v) for v in row))
-            f.write("\n")
+        f.write(body)
+        f.write("\n")
 
 
 def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
