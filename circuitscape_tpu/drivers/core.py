@@ -543,78 +543,112 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                     continue
                 pair_list.append((src_node, dst_node, combos))
 
+    # per-pair map writing runs on a small thread pool: the ASC body
+    # formatter is native (io/fastio.py) and releases the GIL, so the
+    # writes of chunk k overlap the device solve of chunk k+1 (the
+    # reference serializes this behind IO_LOCK, src/out.jl:505-530)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer = ThreadPoolExecutor(max_workers=2)
+    pending = []
+
+    def _drain():
+        for f in pending:
+            f.result()
+        pending.clear()
+
     per_col = H * W * 8 * 8
     step = max(1, min(2048, (4 << 30) // max(per_col, 1)))
-    for s0 in range(0, len(pair_list), step):
-        chunk = pair_list[s0:s0 + step]
-        bsz = len(chunk)
-        src_cells = np.asarray([node_cell[p[0]] for p in chunk], np.int64)
-        dst_cells = np.asarray([node_cell[p[1]] for p in chunk], np.int64)
-        X, rel, iters = stencil_solve_pairs(
-            S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-            itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply,
-            proj=proj)
-        if np.any(rel >= consts.RESIDUAL_GATE):
-            raise SolverFailedError(
-                f"CG solver did not converge: relative residual "
-                f"{float(rel.max())} exceeds tolerance "
-                f"{consts.RESIDUAL_GATE}")
-        Xb = X[:bsz]
-        # normalize each column to its source cell (on device), keeping
-        # cells outside the pair's component at zero
-        cols = jnp.arange(bsz)
-        scj = jnp.asarray(src_cells, jnp.int32)
-        dcj = jnp.asarray(dst_cells, jnp.int32)
-        vsrc = Xb[cols, scj[:, 0], scj[:, 1]]
-        pair_label = labels_dev[scj[:, 0], scj[:, 1]]
-        in_comp = labels_dev[None] == pair_label[:, None, None]
-        Xb = jnp.where(in_comp, Xb - vsrc[:, None, None], 0.0)
-        rvals = np.asarray(Xb[cols, dcj[:, 0], dcj[:, 1]])
+    try:
+        for s0 in range(0, len(pair_list), step):
+            chunk = pair_list[s0:s0 + step]
+            bsz = len(chunk)
+            src_cells = np.asarray([node_cell[p[0]] for p in chunk], np.int64)
+            dst_cells = np.asarray([node_cell[p[1]] for p in chunk], np.int64)
+            with CSTIMER("batched pair solve"):
+                X, rel, iters = stencil_solve_pairs(
+                    S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+                    itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply,
+                    proj=proj)
+            if np.any(rel >= consts.RESIDUAL_GATE):
+                raise SolverFailedError(
+                    f"CG solver did not converge: relative residual "
+                    f"{float(rel.max())} exceeds tolerance "
+                    f"{consts.RESIDUAL_GATE}")
+            Xb = X[:bsz]
+            # normalize each column to its source cell (on device), keeping
+            # cells outside the pair's component at zero
+            cols = jnp.arange(bsz)
+            scj = jnp.asarray(src_cells, jnp.int32)
+            dcj = jnp.asarray(dst_cells, jnp.int32)
+            vsrc = Xb[cols, scj[:, 0], scj[:, 1]]
+            pair_label = labels_dev[scj[:, 0], scj[:, 1]]
+            in_comp = labels_dev[None] == pair_label[:, None, None]
+            Xb = jnp.where(in_comp, Xb - vsrc[:, None, None], 0.0)
+            rvals = np.asarray(Xb[cols, dcj[:, 0], dcj[:, 1]])
 
-        write_pair_files = (of.write_cur_maps and
-                            not of.write_cum_cur_map_only)
-        need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
-                    of.write_max_cur_maps)
-        ncur = None
-        if need_cur:
-            ncur = stencil_node_currents(S64, Xb, proj=proj)
-            if of.log_transform_maps or of.set_null_currents_to_nodata:
-                # match process_grid! per-map postprocess on device
-                nodata = prob.hbmeta.nodata
-                if of.log_transform_maps:
-                    ncur = jnp.where(ncur > 0, jnp.log10(ncur), nodata)
-                if of.set_null_currents_to_nodata:
-                    cmask_np = np.ones((Hp, Wp), bool)
-                    cmask_np[:H, :W] = prob.cellmap == 0
-                    ncur = jnp.where(jnp.asarray(cmask_np)[None], nodata,
-                                     ncur)
-            cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0), dtype)[:H, :W]
-            if of.write_max_cur_maps:
-                np.maximum(cum.max_curr,
-                           np.asarray(jnp.max(ncur, axis=0), dtype)[:H, :W],
-                           out=cum.max_curr)
+            write_pair_files = (of.write_cur_maps and
+                                not of.write_cum_cur_map_only)
+            need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
+                        of.write_max_cur_maps)
+            ncur = None
+            if need_cur:
+                with CSTIMER("node currents + reduce"):
+                    ncur = stencil_node_currents(S64, Xb, proj=proj)
+                    if of.log_transform_maps or of.set_null_currents_to_nodata:
+                        # match process_grid! per-map postprocess on device
+                        nodata = prob.hbmeta.nodata
+                        if of.log_transform_maps:
+                            ncur = jnp.where(ncur > 0, jnp.log10(ncur), nodata)
+                        if of.set_null_currents_to_nodata:
+                            cmask_np = np.ones((Hp, Wp), bool)
+                            cmask_np[:H, :W] = prob.cellmap == 0
+                            ncur = jnp.where(jnp.asarray(cmask_np)[None],
+                                             nodata, ncur)
+                    cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0),
+                                               dtype)[:H, :W]
+                    if of.write_max_cur_maps:
+                        np.maximum(cum.max_curr,
+                                   np.asarray(jnp.max(ncur, axis=0),
+                                              dtype)[:H, :W],
+                                   out=cum.max_curr)
 
-        # ONE device->host transfer per chunk (per-pair fetches each pay
-        # the full tunnel round-trip latency)
-        ncur_h = (np.asarray(ncur, dtype) if write_pair_files else None)
-        volt_h = (np.asarray(Xb, dtype) if of.write_volt_maps else None)
+            # ONE device->host transfer per chunk (per-pair fetches each
+            # pay the full tunnel round-trip latency); cast to f32 ON
+            # DEVICE first — halves the tunnel bytes, and f32's ~1e-7
+            # relative rounding sits far below the 1e-6 output tolerance
+            with CSTIMER("fetch maps"):
+                ncur_h = (np.asarray(ncur.astype(jnp.float32), dtype)
+                          if write_pair_files else None)
+                volt_h = (np.asarray(Xb.astype(jnp.float32), dtype)
+                          if of.write_volt_maps else None)
 
-        for col, (src_node, dst_node, combos) in enumerate(chunk):
-            resistance = float(rvals[col])
-            for (c_i, c_j) in combos:
-                resistances[c_i, c_j] = resistance
-                resistances[c_j, c_i] = resistance
-                name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
-                if write_pair_files:
-                    out.write_grid(ncur_h[col][:H, :W].copy(),
-                                   name, cfg, prob.hbmeta)
-                if of.write_volt_maps:
-                    vm = volt_h[col][:H, :W].copy()
-                    if of.set_null_voltages_to_nodata:
-                        vm[prob.cellmap == 0] = prob.hbmeta.nodata
-                    out.write_grid(vm, name, cfg, prob.hbmeta, voltage=True)
-            ckpt.mark(combos)
-        ckpt.save(resistances, cum)
+            with CSTIMER("write maps"):
+                for col, (src_node, dst_node, combos) in enumerate(chunk):
+                    resistance = float(rvals[col])
+                    for (c_i, c_j) in combos:
+                        resistances[c_i, c_j] = resistance
+                        resistances[c_j, c_i] = resistance
+                        name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
+                        if write_pair_files:
+                            pending.append(writer.submit(
+                                out.write_grid, ncur_h[col][:H, :W].copy(),
+                                name, cfg, prob.hbmeta))
+                        if of.write_volt_maps:
+                            vm = volt_h[col][:H, :W].copy()
+                            if of.set_null_voltages_to_nodata:
+                                vm[prob.cellmap == 0] = prob.hbmeta.nodata
+                            pending.append(writer.submit(
+                                out.write_grid, vm, name, cfg, prob.hbmeta,
+                                voltage=True))
+                    ckpt.mark(combos)
+                if ckpt.enabled:
+                    _drain()   # a saved chunk's maps must be on disk
+                    ckpt.save(resistances, cum)
+        with CSTIMER("write maps"):
+            _drain()
+    finally:
+        writer.shutdown(wait=True)
     ckpt.finish()
 
 

@@ -1,0 +1,58 @@
+"""ctypes binding for the native text-raster formatter (native/fastio.cpp).
+
+The maps-on pairwise path writes hundreds of per-pair ASCII grids;
+Python-level "%.12g" formatting costs ~1 s per 1M-cell map.  The native
+body writer produces identical text (both are C printf "%.12g") at ~10x
+the throughput and releases the GIL, so a writer thread overlaps the
+device solve.  Falls back to None when the library can't build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcsio.so")
+
+_lib = None
+_tried = False
+
+
+def load():
+    """The loaded library, or None if unavailable (pure-Python path)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libcsio.so"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.csio_write_asc_body.restype = ctypes.c_longlong
+        lib.csio_write_asc_body.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def write_asc_body(path: str, arr: np.ndarray) -> bool:
+    """Append the %.12g grid body to path; True on success."""
+    lib = load()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(arr, np.float64)
+    n = lib.csio_write_asc_body(path.encode(), a,
+                                np.int64(a.shape[0]), np.int64(a.shape[1]))
+    return n >= 0

@@ -372,13 +372,6 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
         fv = float(v)
         return str(int(fv)) if fv == int(fv) else repr(fv)
 
-    # one C-level %-format per ROW (12 significant digits, ~1e-12
-    # relative round-trip — far below every comparison tolerance);
-    # a per-value repr() loop cost ~1.2 s per 1M-cell map and dominated
-    # maps-on jobs that write hundreds of per-pair grids
-    row_fmt = " ".join(["%.12g"] * ncols)
-    body = "\n".join(row_fmt % tuple(row) for row in
-                     np.asarray(arr, np.float64))
     with open(path, "w") as f:
         f.write(f"ncols        {ncols}\n")
         f.write(f"nrows        {nrows}\n")
@@ -386,6 +379,21 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
         f.write(f"yllcorner    {fmt_hdr(yll)}\n")
         f.write(f"cellsize     {fmt_hdr(cellsize)}\n")
         f.write(f"NODATA_value  {fmt_hdr(nodata)}\n")
+
+    # body: the native formatter (io/fastio.py) emits the identical
+    # "%.12g" text (both are C printf) at ~10x the Python throughput
+    # and releases the GIL — the maps-on path writes hundreds of
+    # per-pair 1M-cell grids, and formatting dominated its profile
+    from . import fastio
+    if fastio.write_asc_body(path, arr):
+        return
+    # pure-Python fallback: one C-level %-format per ROW (12 significant
+    # digits, ~1e-12 relative round-trip — far below every comparison
+    # tolerance)
+    row_fmt = " ".join(["%.12g"] * ncols)
+    body = "\n".join(row_fmt % tuple(row) for row in
+                     np.asarray(arr, np.float64))
+    with open(path, "a") as f:
         f.write(body)
         f.write("\n")
 

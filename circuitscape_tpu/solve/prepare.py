@@ -32,19 +32,31 @@ def prepare_stencil_solver(planes, use_mg=True):
     hierarchy (f32; None for tiny grids, where Jacobi-CG wins), and
     (H0, W0) the ORIGINAL grid shape for cropping fetched maps.
     """
+    import math
+
     from ..parallel.mesh import active_mesh, shard_hierarchy
 
     H0, W0 = planes[0].shape
     mesh = active_mesh(H0 * W0)
+    # Shape bucketing: pad both grid dims to 128-cell quanta so nearby
+    # problem shapes compile to ONE executable (a 990x1013 job and a
+    # 1000x1000 job both run the 1024x1024 programs — XLA compiles per
+    # static shape, and cold-start compile dominated first-run wall
+    # clock).  Padded cells carry zero weights (inactive), so they are
+    # inert through the solve, and every caller crops fetched maps back
+    # to the original shape.  Bonus: every MG level becomes a multiple
+    # of 128 as long as it divides, so coarsening never hits odd dims
+    # near the top of the hierarchy.
+    qh = qw = 128
     if mesh is not None:
-        rows = mesh.shape["nodes"]
-        # pad so the fine level AND the first 3 coarse levels split
+        # also make the fine level AND the first 3 coarse levels split
         # evenly over 'nodes' (each MG level halves the row count)
-        quantum = rows * 8
-        Hp = -(-H0 // quantum) * quantum
-        if Hp != H0:
-            planes = [np.pad(np.asarray(p), ((0, Hp - H0), (0, 0)))
-                      for p in planes]
+        qh = math.lcm(qh, mesh.shape["nodes"] * 8)
+    Hp = -(-H0 // qh) * qh
+    Wp = -(-W0 // qw) * qw
+    if (Hp, Wp) != (H0, W0):
+        planes = [np.pad(np.asarray(p), ((0, Hp - H0), (0, Wp - W0)))
+                  for p in planes]
 
     stacked = np.stack([np.asarray(p, np.float64) for p in planes])
     dev = jnp.asarray(stacked)

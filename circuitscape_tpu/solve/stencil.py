@@ -461,9 +461,15 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
     def not_done(carry):
         X, R, Z, P, rz, k, best, since = carry
         resnorm = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))
+        worst = jnp.max(resnorm / safe_bnorm)
+        # `since` detects stall at the f32 rounding floor; the `worst`
+        # guard detects DIVERGENCE past it (once the recurrence hits the
+        # floor, beta turns into amplified noise and the iterate can blow
+        # up — observed with the Pallas matvec's rounding at 1M cells).
+        # Both exits leave the outer f64 refinement to re-residualize.
         return jnp.logical_and(
             jnp.logical_and(jnp.logical_and(k < itmax, k < k_stop),
-                            since < 200),
+                            jnp.logical_and(since < 50, worst <= best * 8)),
             jnp.any(resnorm > tol))
 
     def body(carry):
@@ -545,15 +551,19 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     tol = jnp.maximum(rtol, eps_floor) * bnorm
 
     state = _cg_state_init_jit(A, B, prec, prec_apply, pen, proj)
+    k_prev = -1
     while True:
         state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
                           prec, prec_apply, pen, proj)
         k = int(state[5])
-        since = int(state[7])
         resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
-        if (k >= itmax or since >= 200 or
+        # k == k_prev: the device loop refused to advance (stall at the
+        # f32 floor or divergence guard) — the caller's outer refinement
+        # takes over from the true residual
+        if (k >= itmax or k == k_prev or
                 not np.any(resnorm > np.asarray(tol))):
             break
+        k_prev = k
     X = state[0]
     relres = _true_relres(A, B, X, safe_bnorm, proj)
     return X, relres, state[5]
@@ -605,17 +615,30 @@ def _extract_point_voltages(X, src_cells, point_cells):
     return Vp, vsrc
 
 
+# Per-pass relative tolerance of the f32 inner solves.  The f32 MG-CG
+# recurrence has a rounding floor near 4e-6 relative at the 1M-cell
+# scale, and PUSHING INTO the floor is hazardous: past it, beta becomes
+# amplified noise and the iterate can diverge (observed: residual
+# climbing from 4e-6 back to 1e0 within 20 iterations under the Pallas
+# matvec's rounding).  Iterative refinement removes the hazard
+# structurally — each inner pass stops ~25x above the floor and the f64
+# outer recurrence closes the remaining gap, so no pass ever operates
+# where f32 CG is unstable.
+INNER_RTOL = 1e-4
+MAX_PASSES = 6
+
+
 @partial(jax.jit, static_argnames=("prec_apply", "itmax", "mesh"))
 def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
                        rtol, itmax, mesh=None, proj=None):
     """The WHOLE mixed-precision pair solve as one device execution:
-    RHS scatter, f32 MG-CG to rtol, f64 true residual, one refinement
-    pass at the SAME ABSOLUTE tolerance (so the touch-up solve stops
-    after the 1-3 iterations it actually needs), final f64 residuals,
-    and focal-voltage extraction — the host link sees one dispatch and
-    one small packed fetch.  (Per-roundtrip latency on a remote-tunnel
-    TPU is ~40ms; the ~25 roundtrips this replaces used to dominate
-    the 1M-cell job.)"""
+    RHS scatter, iterative refinement (f32 MG-CG inner passes at
+    INNER_RTOL, f64 true-residual outer loop, additional passes only
+    while a column is above rtol), final f64 residuals, and
+    focal-voltage extraction — the host link sees one dispatch and one
+    small packed fetch.  (Per-roundtrip latency on a remote-tunnel TPU
+    is ~40ms; the ~25 roundtrips this replaces used to dominate the
+    1M-cell job.)"""
     b_pad = sc.shape[0]
     H, W = S64.shape
     B64 = _pairs_rhs(sc, dc, H, W, b_pad)
@@ -641,7 +664,7 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
 
     def one_pass(R64):
         R32 = R64.astype(jnp.float32)
-        tol32 = jnp.maximum(tol64, 32 * jnp.finfo(jnp.float32).eps *
+        tol32 = jnp.maximum(tol64, INNER_RTOL *
                             jnp.sqrt(jnp.sum(R32 * R32, axis=(-2, -1)))
                             ).astype(jnp.float32)
         st = _cg_state_init(A_lo, R32, prec, prec_apply, None, proj)
@@ -650,17 +673,26 @@ def _solve_pairs_fused(S64, A_lo, prec, prec_apply, sc, dc, point_cells,
                       prec, prec_apply, None, proj)
         return st[0].astype(jnp.float64), st[5]
 
-    dX, it1 = one_pass(B64)
-    X = dX
-    R = B64 - _apply_op(S64, X, None, proj)
-    dX, it2 = one_pass(R)
-    X = X + dX
-    R = B64 - _apply_op(S64, X, None, proj)
-    rel = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
+    def refine_cond(carry):
+        X, R, rel, iters, npass = carry
+        return jnp.logical_and(npass < MAX_PASSES, jnp.any(rel > rtol))
+
+    def refine_body(carry):
+        X, R, rel, iters, npass = carry
+        dX, it = one_pass(R)
+        X = X + dX
+        R = B64 - _apply_op(S64, X, None, proj)
+        rel = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm
+        return (X, R, rel, iters + it, npass + 1)
+
+    X0 = jnp.zeros_like(B64)
+    rel0 = jnp.where(bnorm > 0, jnp.inf, 0.0)
+    X, R, rel, iters, _ = jax.lax.while_loop(
+        refine_cond, refine_body, (X0, B64, rel0, jnp.asarray(0), 0))
     Vp, _ = _extract_point_voltages(X, sc, point_cells)
     # one packed fetch: [rel (b_pad) | iters (1) | Vp (b_pad*npts)]
     packed = jnp.concatenate([
-        rel, (it1 + it2).astype(jnp.float64)[None],
+        rel, iters.astype(jnp.float64)[None],
         Vp.astype(jnp.float64).ravel()])
     return X, packed
 
@@ -753,7 +785,7 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
         R = B - _apply_op_jit(S64, X, None, proj)
         for _ in range(max_refine - 2):
             inner = np.clip(rtol / np.where(rel == 0, 1.0, rel),
-                            rtol, 0.05)
+                            INNER_RTOL, 0.05)
             dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                    itmax=itmax, prec=prec,
                                    prec_apply=prec_apply, proj=proj)
@@ -843,8 +875,10 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
     nb = B_rhs.shape[0]
     rel = np.full(nb, np.inf)
     for pass_i in range(max_refine):
-        inner = rtol if pass_i == 0 else np.clip(
-            rtol / np.where(rel == 0, 1.0, rel), rtol, 0.05)
+        # floor-safe inner tolerances: never ask an f32 pass for more
+        # than INNER_RTOL relative (see the INNER_RTOL note above)
+        inner = max(rtol, INNER_RTOL) if pass_i == 0 else np.clip(
+            rtol / np.where(rel == 0, 1.0, rel), INNER_RTOL, 0.05)
         dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                itmax=itmax, prec=prec,
                                prec_apply=prec_apply, pen=pen32, proj=proj)
