@@ -1,9 +1,17 @@
 """Direct-tier benchmark: native C++ Cholesky vs scipy SuperLU.
 
-VERDICT r1 item 5: prove the native direct tier with numbers.  Grid
-Laplacians (the Circuitscape case) at 100k/500k/1M nodes, shifted by
-10*eps like the production path (solve/dispatch.py); times the
+Grid Laplacians (the Circuitscape case) at 100k/500k/1M nodes, shifted
+by 10*eps like the production path (solve/dispatch.py); times the
 factorization and a 32-RHS batched solve separately for each backend.
+
+Measurement protocol (round-2 VERDICT item 5): the first solve after a
+factorization pays one-time page faults on the RHS-transpose buffer and
+the panel pages and is reported separately as `native_solve32_first_s`;
+the steady-state number is the MEDIAN OF 5 subsequent solves (production
+jobs back-substitute many batches per factorization, cholmod_batch_size
+semantics).  Run this benchmark without a concurrent TPU process — the
+round-2 warm>cold inversion was exactly that: both engines sharing the
+2 host cores with a live tunnel process.
 
 Writes BENCH_NATIVE.json and prints one JSON record per size.
 """
@@ -65,12 +73,13 @@ def bench_size(side, nrhs=32):
     rec["native_nnz_L"] = int(F.nnz_L)
     t0 = time.perf_counter()
     xn = F.solve(B)
-    rec["native_solve32_s"] = round(time.perf_counter() - t0, 3)
-    # production jobs back-substitute many batches per factorization
-    # (cholmod_batch_size semantics); warm number is the steady state
-    t0 = time.perf_counter()
-    F.solve(B)
-    rec["native_solve32_warm_s"] = round(time.perf_counter() - t0, 3)
+    rec["native_solve32_first_s"] = round(time.perf_counter() - t0, 3)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        F.solve(B)
+        ts.append(time.perf_counter() - t0)
+    rec["native_solve32_s"] = round(float(np.median(ts)), 3)
 
     _note("  scipy splu...")
     t0 = time.perf_counter()
@@ -78,7 +87,12 @@ def bench_size(side, nrhs=32):
     rec["scipy_factor_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     xs = lu.solve(B)
-    rec["scipy_solve32_s"] = round(time.perf_counter() - t0, 3)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        xs = lu.solve(B)
+        ts.append(time.perf_counter() - t0)
+    rec["scipy_solve32_s"] = round(float(np.median(ts)), 3)
 
     # relative residuals (true accuracy, not cross-agreement: the
     # near-singular shift leaves the constant mode ill-determined)

@@ -48,7 +48,14 @@ def _pt_file_no_polygons_path(rasterdata, flags, cfg, dtype):
 
 def _pt_file_polygons_path(rasterdata, flags, cfg, dtype):
     """Per-pair graph rebuild when the point file contains focal regions
-    (src/raster/pairwise.jl:72-135)."""
+    (src/raster/pairwise.jl:72-135).
+
+    TPU re-design: the conductance map — hence the stencil operator and
+    the MG hierarchy — is IDENTICAL for every pair; only the polygon
+    merge pattern changes.  Above a size threshold the pairs therefore
+    solve as ONE batched device CG with a per-column PolyProjector
+    (solve/stencil.py build_poly_projector_rows), replacing the
+    reference's per-pair full graph rebuild + solve loop."""
     gmap = rasterdata.cellmap
     points_rc = rasterdata.points_rc
     included_pairs = rasterdata.included_pairs
@@ -67,19 +74,23 @@ def _pt_file_polygons_path(rasterdata, flags, cfg, dtype):
     cslog.info("Total number of pair solves = %s", n)
     exclude_set = set(exclude_pairs)
 
-    k = 1
-    for i in range(npts):
-        for j in range(i + 1, npts):
-            pt1, pt2 = pts[i], pts[j]
-            cslog.info("Solving pair %s of %s", k, n)
-            k += 1
-            if (pt1, pt2) in exclude_set or (pt2, pt1) in exclude_set:
-                continue
-            graphdata = compute_graph_data_polygons(
-                rasterdata, flags, pt1, pt2, cum, cfg, dtype)
-            pairwise_resistance = single_ground_all_pairs(
-                graphdata, flags, cfg, log=False)
-            resistances[i, j] = resistances[j, i] = pairwise_resistance[1, 2]
+    done = _regions_device_path(rasterdata, flags, cfg, dtype, pts,
+                                exclude_set, cum, resistances)
+    if not done:
+        k = 1
+        for i in range(npts):
+            for j in range(i + 1, npts):
+                pt1, pt2 = pts[i], pts[j]
+                cslog.info("Solving pair %s of %s", k, n)
+                k += 1
+                if (pt1, pt2) in exclude_set or (pt2, pt1) in exclude_set:
+                    continue
+                graphdata = compute_graph_data_polygons(
+                    rasterdata, flags, pt1, pt2, cum, cfg, dtype)
+                pairwise_resistance = single_ground_all_pairs(
+                    graphdata, flags, cfg, log=False)
+                resistances[i, j] = resistances[j, i] = \
+                    pairwise_resistance[1, 2]
 
     np.fill_diagonal(resistances, 0)
     parr = np.asarray(pts, dtype)
@@ -93,6 +104,168 @@ def _pt_file_polygons_path(rasterdata, flags, cfg, dtype):
 
     out.save_resistances(r, cfg)
     return r
+
+
+def _regions_device_path(rasterdata, flags, cfg, dtype, pts, exclude_set,
+                         cum, resistances) -> bool:
+    """Batched stencil solve for focal-regions pairwise.
+
+    One shared operator + MG hierarchy; each pair contributes one RHS
+    column and one row of a batched PolyProjector encoding ITS merge of
+    the two focal regions (plus the shared base polygons).  Returns True
+    when it handled the job (resistances/cum filled in place), False to
+    fall back to the reference-parity per-pair host loop (small grids,
+    non-iterative solvers)."""
+    import os as _os
+
+    gmap = rasterdata.cellmap
+    min_cells = int(_os.environ.get("CS_PAIRWISE_DEVICE_MIN", "40000"))
+    if cfg.solver != "cg+amg" or gmap.size < min_cells:
+        return False
+
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from .. import consts
+    from ..solve.dispatch import SolverFailedError
+    from ..solve.prepare import prepare_stencil_solver
+    from ..solve.stencil import (build_poly_projector_rows,
+                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_solve_pairs)
+
+    of = flags.outputflags
+    polymap = rasterdata.polymap
+    points_rc = rasterdata.points_rc
+    H, W = gmap.shape
+
+    cslog.info("focal-regions device fast path: shared operator, "
+               "per-pair projector")
+    planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
+    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    Hp, Wp = S64.shape
+
+    structure = (np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+                 if flags.four_neighbors else np.ones((3, 3), np.int64))
+    labels, nlab = ndimage.label(gmap > 0, structure=structure)
+
+    # first-listed cell of each focal region id
+    first_cell = {}
+    for r, c, p in zip(points_rc[0], points_rc[1], points_rc[2]):
+        first_cell.setdefault(int(p), (int(r) - 1, int(c) - 1))
+
+    npts = len(pts)
+    jobs = []   # (i, j, nodemap, src_cell, dst_cell, root_of_base, root_src)
+    for i in range(npts):
+        for j in range(i + 1, npts):
+            pt1, pt2 = pts[i], pts[j]
+            if (pt1, pt2) in exclude_set or (pt2, pt1) in exclude_set:
+                continue
+            newpoly = build.create_new_polymap(gmap, polymap, points_rc,
+                                               pt1, pt2)
+            nodemap = build.construct_node_map(gmap, newpoly)
+            # connectivity of the MERGED graph: union-find over base
+            # grid components joined by shared polygons
+            parent = np.arange(nlab + 1, dtype=np.int64)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            mask = (newpoly > 0) & (gmap > 0)
+            pl = newpoly[mask]
+            bl = labels[mask]
+            order = np.argsort(pl, kind="stable")
+            pl_s, bl_s = pl[order], bl[order]
+            starts = np.nonzero(np.diff(pl_s, prepend=-1))[0]
+            ends = np.append(starts[1:], len(pl_s))
+            for s0, s1 in zip(starts, ends):
+                ra = find(bl_s[s0])
+                for b in np.unique(bl_s[s0:s1]):
+                    parent[find(b)] = ra
+            sc = first_cell[int(pt1)]
+            dc = first_cell[int(pt2)]
+            rs = find(labels[sc])
+            rd = find(labels[dc])
+            if rs != rd or rs == 0:
+                continue   # disconnected pair: resistance stays -1
+            root_of_base = np.array([find(b) for b in range(nlab + 1)],
+                                    np.int32)
+            jobs.append((i, j, nodemap, sc, dc, root_of_base, rs))
+
+    if not jobs:
+        return True
+
+    need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
+                of.write_max_cur_maps)
+    write_pair_files = of.write_cur_maps and not of.write_cum_cur_map_only
+    labels_dev = None
+    if need_cur or of.write_volt_maps:
+        labels_grid = np.zeros((Hp, Wp), np.int32)
+        labels_grid[:H, :W] = labels
+        labels_dev = jnp.asarray(labels_grid)
+
+    per_col = Hp * Wp * 8 * 8
+    step = max(1, min(2048, (4 << 30) // max(per_col, 1)))
+    for s0 in range(0, len(jobs), step):
+        chunk = jobs[s0:s0 + step]
+        bsz = len(chunk)
+        proj = build_poly_projector_rows([jb[2] for jb in chunk], (Hp, Wp))
+        src_cells = np.asarray([jb[3] for jb in chunk], np.int64)
+        dst_cells = np.asarray([jb[4] for jb in chunk], np.int64)
+        X, rel, iters = stencil_solve_pairs(
+            S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+            itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply,
+            proj=proj)
+        if np.any(rel >= consts.RESIDUAL_GATE):
+            raise SolverFailedError(
+                f"CG solver did not converge: relative residual "
+                f"{float(rel.max())} exceeds tolerance "
+                f"{consts.RESIDUAL_GATE}")
+        Xb = X[:bsz]
+        cols = jnp.arange(bsz)
+        scj = jnp.asarray(src_cells, jnp.int32)
+        dcj = jnp.asarray(dst_cells, jnp.int32)
+        vals = np.asarray(Xb[cols, dcj[:, 0], dcj[:, 1]] -
+                          Xb[cols, scj[:, 0], scj[:, 1]])
+        for col, jb in enumerate(chunk):
+            i, j = jb[0], jb[1]
+            resistances[i, j] = resistances[j, i] = float(vals[col])
+
+        if need_cur or of.write_volt_maps:
+            # per-pair component mask from the merged union-find roots
+            root_table = jnp.asarray(np.stack([jb[5] for jb in chunk]))
+            root_src = jnp.asarray(np.asarray([jb[6] for jb in chunk],
+                                              np.int32))
+            in_comp = (jnp.take(root_table, labels_dev, axis=1) ==
+                       root_src[:, None, None])
+            vsrc = Xb[cols, scj[:, 0], scj[:, 1]]
+            Xn = jnp.where(in_comp, Xb - vsrc[:, None, None], 0.0)
+            if need_cur:
+                ncur = stencil_node_currents(S64, Xn, proj=proj)
+                cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0),
+                                           dtype)[:H, :W]
+                if of.write_max_cur_maps:
+                    np.maximum(cum.max_curr,
+                               np.asarray(jnp.max(ncur, axis=0),
+                                          dtype)[:H, :W],
+                               out=cum.max_curr)
+                if write_pair_files:
+                    ncur_h = np.asarray(ncur.astype(jnp.float32), dtype)
+            if of.write_volt_maps:
+                volt_h = np.asarray(Xn.astype(jnp.float32), dtype)
+            for col, jb in enumerate(chunk):
+                i, j = jb[0], jb[1]
+                name = f"_{int(pts[i])}_{int(pts[j])}"
+                if need_cur and write_pair_files:
+                    out.write_grid(ncur_h[col][:H, :W].copy(), name, cfg,
+                                   rasterdata.hbmeta)
+                if of.write_volt_maps:
+                    vm = volt_h[col][:H, :W].copy()
+                    out.write_grid(vm, name, cfg, rasterdata.hbmeta,
+                                   voltage=True)
+    return True
 
 
 def compute_graph_data_polygons(rasterdata, flags, pt1, pt2, cum, cfg, dtype):

@@ -131,29 +131,87 @@ def build_poly_projector(nodemap: np.ndarray, shape=None):
 
 def poly_project(proj: PolyProjector, y: jnp.ndarray) -> jnp.ndarray:
     """Apply Pi to a (B, H, W) block: polygon cells take their polygon
-    mean, all other cells pass through."""
+    mean, all other cells pass through.
+
+    proj.seg of shape (H*W,) applies one merge pattern to every column;
+    shape (B, H*W) applies a PER-COLUMN pattern (the focal-regions
+    pairwise path, where each pair merges its own two focal regions
+    on top of the shared base polygons)."""
     B, H, W = y.shape
     flat = y.reshape(B, H * W)
-    sums = jax.vmap(
-        lambda r: jax.ops.segment_sum(r, proj.seg,
-                                      num_segments=proj.nseg))(flat)
-    means = sums * proj.inv_counts.astype(y.dtype)[None]
-    corr = jnp.take(means, proj.seg, axis=1)
-    is_poly = (proj.seg < proj.nseg - 1)[None]
+    if proj.seg.ndim == 2:
+        sums = jax.vmap(
+            lambda r, s: jax.ops.segment_sum(r, s,
+                                             num_segments=proj.nseg))(
+            flat, proj.seg)
+        means = sums * proj.inv_counts.astype(y.dtype)
+        corr = jnp.take_along_axis(means, proj.seg, axis=1)
+        is_poly = proj.seg < proj.nseg - 1
+    else:
+        sums = jax.vmap(
+            lambda r: jax.ops.segment_sum(r, proj.seg,
+                                          num_segments=proj.nseg))(flat)
+        means = sums * proj.inv_counts.astype(y.dtype)[None]
+        corr = jnp.take(means, proj.seg, axis=1)
+        is_poly = (proj.seg < proj.nseg - 1)[None]
     return jnp.where(is_poly, corr, flat).reshape(B, H, W)
 
 
 def poly_sum(proj: PolyProjector, y: jnp.ndarray) -> jnp.ndarray:
     """Polygon cells take their polygon SUM (broadcast to members);
-    all other cells pass through.  Used for merged-node current maps."""
+    all other cells pass through.  Used for merged-node current maps.
+    Handles per-column seg arrays like poly_project."""
     B, H, W = y.shape
     flat = y.reshape(B, H * W)
-    sums = jax.vmap(
-        lambda r: jax.ops.segment_sum(r, proj.seg,
-                                      num_segments=proj.nseg))(flat)
-    corr = jnp.take(sums.astype(y.dtype), proj.seg, axis=1)
-    is_poly = (proj.seg < proj.nseg - 1)[None]
+    if proj.seg.ndim == 2:
+        sums = jax.vmap(
+            lambda r, s: jax.ops.segment_sum(r, s,
+                                             num_segments=proj.nseg))(
+            flat, proj.seg)
+        corr = jnp.take_along_axis(sums.astype(y.dtype), proj.seg, axis=1)
+        is_poly = proj.seg < proj.nseg - 1
+    else:
+        sums = jax.vmap(
+            lambda r: jax.ops.segment_sum(r, proj.seg,
+                                          num_segments=proj.nseg))(flat)
+        corr = jnp.take(sums.astype(y.dtype), proj.seg, axis=1)
+        is_poly = (proj.seg < proj.nseg - 1)[None]
     return jnp.where(is_poly, corr, flat).reshape(B, H, W)
+
+
+def build_poly_projector_rows(nodemaps, shape) -> PolyProjector:
+    """Batched PolyProjector from one nodemap PER COLUMN (focal-regions
+    pairwise: each pair merges its own focal regions).  All rows share
+    one segment budget nseg = max polygon count + trash slot."""
+    rows_seg, rows_inv, npolys = [], [], []
+    Hp, Wp = shape
+    per = []
+    for nm in nodemaps:
+        active = nm > 0
+        ids, counts = np.unique(nm[active], return_counts=True)
+        shared = ids[counts > 1]
+        per.append((shared, counts[counts > 1]))
+        npolys.append(shared.size)
+    nseg = max(npolys) + 1 if npolys else 1
+    for nm, (shared, counts) in zip(nodemaps, per):
+        H, W = nm.shape
+        full = np.zeros((Hp, Wp), nm.dtype)
+        full[:H, :W] = nm
+        flat = full.ravel()
+        npoly = shared.size
+        if npoly:
+            pos = np.searchsorted(shared, flat)
+            pos = np.clip(pos, 0, npoly - 1)
+            is_poly = (shared[pos] == flat) & (flat > 0)
+            seg = np.where(is_poly, pos, nseg - 1).astype(np.int32)
+        else:
+            seg = np.full(flat.shape, nseg - 1, np.int32)
+        inv = np.zeros(nseg, np.float64)
+        inv[:npoly] = 1.0 / counts
+        rows_seg.append(seg)
+        rows_inv.append(inv)
+    return PolyProjector(jnp.asarray(np.stack(rows_seg)),
+                         jnp.asarray(np.stack(rows_inv)), int(nseg))
 
 
 @jax.jit
@@ -750,6 +808,20 @@ def _fused_pair_solve(S64, src_cells, dst_cells, point_cells, rtol, itmax,
     dc_np = np.zeros((b_pad, 2), np.int32)
     sc_np[:nb] = src_cells
     dc_np[:nb] = dst_cells
+    if proj is not None and proj.seg.ndim == 2 and \
+            proj.seg.shape[0] != b_pad:
+        # batched (per-column) projector: pad with all-trash rows so the
+        # padded zero columns ride an identity projection
+        extra = b_pad - proj.seg.shape[0]
+        seg = jnp.concatenate([
+            proj.seg,
+            jnp.full((extra, proj.seg.shape[1]), proj.nseg - 1,
+                     proj.seg.dtype)])
+        inv = jnp.concatenate([
+            proj.inv_counts,
+            jnp.zeros((extra, proj.inv_counts.shape[1]),
+                      proj.inv_counts.dtype)])
+        proj = PolyProjector(seg, inv, proj.nseg)
     # padded columns: src == dst == (0,0) -> the ±1 scatter cancels and
     # the RHS column is exactly zero (rel = 0, never gates convergence)
     if mesh is not None:
