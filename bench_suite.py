@@ -60,15 +60,56 @@ def make_raster(d, rng, side, npts):
     return g, pts
 
 
+STAGE_SECTIONS = {
+    "setup_s": ("build stencil planes",
+                "prepare stencil solver (upload + MG setup)",
+                "invert nodemap",
+                "construct preconditioner/factorization"),
+    "solve_s": ("batched pair solve", "solve and accumulate pairs"),
+    "output_s": ("write maps", "fetch maps", "node currents + reduce",
+                 "postprocess"),
+}
+
+
+def _job_stats():
+    """North-star metrics + per-stage split of the job that just ran
+    (VERDICT r2 items 2/6: compile/setup/solve/output visibility and
+    BASELINE.json's sustained-nnz/s metric)."""
+    from circuitscape_tpu import stats
+    from circuitscape_tpu.timer import CSTIMER
+    d = stats.finalize()
+    rec = {}
+    for k in ("cg_iters", "sustained_nnz_per_s",
+              "fine_spmv_pct_of_hbm_roofline", "mg_kernels"):
+        if k in d:
+            rec[k] = d[k]
+    total = CSTIMER.total("complete job")
+    stages = {}
+    for out_key, sections in STAGE_SECTIONS.items():
+        s = sum(CSTIMER.total(name) for name in sections)
+        if s:
+            stages[out_key] = round(s, 3)
+    if total:
+        stages["total_s"] = round(total, 3)
+        accounted = sum(v for k, v in stages.items() if k != "total_s")
+        # remainder = IO load, graph build, python driver, and (cold
+        # runs) XLA/server compile waits
+        stages["other_s"] = round(total - accounted, 3)
+    if stages:
+        rec["stages"] = stages
+    return rec
+
+
 def run_cold_warm(name, cfg_dict):
     import circuitscape_tpu as cs
-    times = []
+    times, stats_per_run = [], []
     for k in range(2):
         t0 = time.perf_counter()
         cs.compute(dict(cfg_dict))
         times.append(time.perf_counter() - t0)
+        stats_per_run.append(_job_stats())
         _note(f"  {name} run{k}: {times[-1]:.2f}s")
-    return times[0], times[1]
+    return times[0], times[1], stats_per_run
 
 
 def guarded(records, fn):
@@ -126,7 +167,7 @@ def main():
         "CS_SUITE_SIZES", "1000,2450,3465").split(",") if s]
     wanted = set(os.environ.get(
         "CS_SUITE_SCENARIOS",
-        "shortcut,maps,onetoall,advanced,network,spmv").split(","))
+        "shortcut,maps,cholmod,onetoall,advanced,network,spmv").split(","))
     rng = np.random.default_rng(42)
     records = []
     if os.environ.get("CS_SUITE_APPEND") and os.path.exists(
@@ -151,10 +192,11 @@ def main():
                     "suppress_messages": "True",
                 }
                 _note(f"pairwise-shortcut {side}x{side}")
-                cold, warm = run_cold_warm("pairwise-shortcut", cfg)
+                cold, warm, st = run_cold_warm("pairwise-shortcut", cfg)
                 rec = {"scenario": "pairwise-shortcut",
                        "cells": side * side, "points": 32,
                        "cold_s": round(cold, 3), "warm_s": round(warm, 3),
+                       "cold_run": st[0], "warm_run": st[1],
                        "note": precision_note}
                 if side * side in BASELINES:
                     cg, chol = BASELINES[side * side]
@@ -186,13 +228,55 @@ def main():
                 "write_volt_maps": "True",
             }
             _note(f"pairwise-maps {side}x{side}")
-            cold, warm = run_cold_warm("pairwise-maps", cfg)
+            cold, warm, st = run_cold_warm("pairwise-maps", cfg)
+            cg, chol = BASELINES[1_000_000]
             records.append({"scenario": "pairwise-maps+volt+max",
                             "cells": side * side, "points": 16,
                             "cold_s": round(cold, 3),
                             "warm_s": round(warm, 3),
+                            "cold_run": st[0], "warm_run": st[1],
+                            # the reference's published 1M-cell numbers
+                            # are the closest baseline (BigTests pairwise
+                            # writes cumulative maps; per-pair map files
+                            # are extra work on both sides)
+                            "baseline_julia_cgamg_s": cg,
+                            "vs_cgamg_warm": round(cg / warm, 2),
                             "note": precision_note})
             _dump(records)
+
+    if "cholmod" in wanted:
+        # direct tier end-to-end at 1M cells against the reference's
+        # headline 89.6s CHOLMOD row (VERDICT r2 item 5) — the native
+        # supernodal engine runs the factor + batched back-substitution
+        def one_cholmod():
+            side = 1000
+            with tempfile.TemporaryDirectory() as d:
+                make_raster(d, rng, side, 32)
+                cfg = {
+                    "data_type": "raster", "scenario": "pairwise",
+                    "habitat_file": f"{d}/cell.npy",
+                    "habitat_map_is_resistances": "False",
+                    "point_file": f"{d}/pts.npy",
+                    "output_file": f"{d}/o.out",
+                    "solver": "cholmod", "precision": "double",
+                    "suppress_messages": "True",
+                }
+                _note(f"pairwise-cholmod {side}x{side}")
+                cold, warm, st = run_cold_warm("pairwise-cholmod", cfg)
+                cg, chol = BASELINES[side * side]
+                records.append({
+                    "scenario": "pairwise-cholmod-direct",
+                    "cells": side * side, "points": 32,
+                    "cold_s": round(cold, 3), "warm_s": round(warm, 3),
+                    "cold_run": st[0], "warm_run": st[1],
+                    "baseline_julia_cholmod_s": chol,
+                    "vs_cholmod_warm": round(chol / warm, 2),
+                    "vs_cholmod_cold": round(chol / cold, 2),
+                    "note": "native supernodal Cholesky "
+                            "(native/cholesky.cpp), f64"})
+                _dump(records)
+
+        guarded(records, one_cholmod)
 
     if "onetoall" in wanted:
         side = sizes[0]
@@ -208,10 +292,11 @@ def main():
                 "suppress_messages": "True",
             }
             _note(f"one-to-all {side}x{side}")
-            cold, warm = run_cold_warm("one-to-all", cfg)
+            cold, warm, st = run_cold_warm("one-to-all", cfg)
             records.append({"scenario": "one-to-all", "cells": side * side,
                             "points": 32, "cold_s": round(cold, 3),
                             "warm_s": round(warm, 3),
+                            "cold_run": st[0], "warm_run": st[1],
                             "note": precision_note})
             _dump(records)
 
@@ -245,11 +330,12 @@ def main():
                 "suppress_messages": "True",
             }
             _note(f"advanced {side}x{side}")
-            cold, warm = run_cold_warm("advanced", cfg)
+            cold, warm, st = run_cold_warm("advanced", cfg)
             records.append({"scenario": "advanced+curmap",
                             "cells": side * side, "sources": 64,
                             "grounds": 64, "cold_s": round(cold, 3),
                             "warm_s": round(warm, 3),
+                            "cold_run": st[0], "warm_run": st[1],
                             "note": precision_note})
             _dump(records)
 
@@ -278,7 +364,7 @@ def main():
                 "suppress_messages": "True",
             }
             _note("network-pairwise")
-            cold, warm = run_cold_warm("network-pairwise", cfg)
+            cold, warm, st = run_cold_warm("network-pairwise", cfg)
             records.append({"scenario": "network-pairwise", "nodes": n,
                             "points": 20, "cold_s": round(cold, 3),
                             "warm_s": round(warm, 3)})

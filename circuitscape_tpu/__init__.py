@@ -26,7 +26,13 @@ _jax.config.update("jax_enable_x64", True)
 # can take minutes, so cache them across processes.  (On CPU the cache
 # can resurrect AOT code compiled with mismatched machine features, so
 # it stays off there.)
-if "cpu" not in _os.environ.get("JAX_PLATFORMS", "tpu"):
+# jax.config reflects both the JAX_PLATFORMS env default and any
+# jax.config.update("jax_platforms", ...) the embedding process made
+# before importing this package (the test/verify recipes select CPU
+# that way); fall back to the env var for older jax configs.
+_plat = (str(getattr(_jax.config, "jax_platforms", "") or "")
+         or _os.environ.get("JAX_PLATFORMS", "tpu"))
+if _plat.split(",")[0].strip().lower() != "cpu":
     try:
         _cache = _os.environ.get(
             "CS_TPU_JAX_CACHE",

@@ -220,12 +220,17 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     pen_grid[rr, cc_] = pen_vec[node_ids - 1] * inv_cnt
 
     sc = np.column_stack([rr, cc_])
+    import time as _time
+
+    from .. import stats
+    _t0 = _time.perf_counter()
     X, rel, iters = stencil_solve_advanced_batch(
         S64,
         sc[None], src_grid[rr, cc_][None],
         sc[None], pen_grid[rr, cc_][None],
         rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
         prec=prec, prec_apply=geomg_apply, proj=proj)
+    stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
     if np.any(rel >= consts.RESIDUAL_GATE):
         raise SolverFailedError(
             f"advanced device solve residual {float(rel.max())} exceeds "
@@ -323,7 +328,8 @@ def advanced_kernel(prob: AdvancedProblem, flags, cfg):
         if prob.check_node != -1 and prob.check_node not in c:
             continue
 
-        a_local = G[np.ix_(c - 1, c - 1)].tocsr()
+        # row then column slice (np.ix_ on CSR densifies the index mesh)
+        a_local = G.tocsr()[c - 1][:, c - 1].tocsr()
         s_local = sources[c - 1]
         g_local = grounds[c - 1]
 
@@ -406,7 +412,7 @@ def multiple_solver(cfg, solver, a, sources, grounds, finitegrounds):
     infgrounds = np.nonzero(grounds == np.inf)[0]
     keep = np.setdiff1d(np.arange(a.shape[0]), infgrounds)
     sources_kept = np.delete(sources, infgrounds)
-    asolve = asolve.tocsr()[np.ix_(keep, keep)]
+    asolve = asolve.tocsr()[keep][:, keep]
 
     volt = multiple_solve(solver, asolve.tocsr(), sources_kept)
 

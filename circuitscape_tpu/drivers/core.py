@@ -183,7 +183,12 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
         if not csub:
             continue
 
-        matrix = a[np.ix_(comp - 1, comp - 1)].tocsr().astype(dtype)
+        # row-slice then column-slice: scipy's np.ix_ path materializes
+        # a dense (n, n) index mesh (TiB-scale at 1M nodes).  `a` may be
+        # a LazyStencilGraph standing in for the CSR Laplacian.
+        idx = comp - 1
+        a_csr = a.materialize() if hasattr(a, "materialize") else a.tocsr()
+        matrix = a_csr[idx][:, idx].tocsr().astype(dtype)
 
         if not prob.solver.is_direct:
             # Regularization (src/core.jl:161)
@@ -418,10 +423,16 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
             src_cells = np.asarray([c[0] for c in chunk], np.int64)
             dst_cells = np.asarray([c[1] for c in chunk], np.int64)
             with CSTIMER("batched pair solve"):
+                import time as _time
+
+                from .. import stats
+                _t0 = _time.perf_counter()
                 X, relres, iters = stencil_solve_pairs(
                     S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
                     itmax=consts.CG_ITMAX, prec=prec,
                     prec_apply=prec_apply, proj=proj)
+                stats.record_solve(X.shape, iters,
+                                   _time.perf_counter() - _t0)
             if np.any(relres >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "
@@ -566,10 +577,16 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             src_cells = np.asarray([node_cell[p[0]] for p in chunk], np.int64)
             dst_cells = np.asarray([node_cell[p[1]] for p in chunk], np.int64)
             with CSTIMER("batched pair solve"):
+                import time as _time
+
+                from .. import stats
+                _t0 = _time.perf_counter()
                 X, rel, iters = stencil_solve_pairs(
                     S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
                     itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply,
                     proj=proj)
+                stats.record_solve(X.shape, iters,
+                                   _time.perf_counter() - _t0)
             if np.any(rel >= consts.RESIDUAL_GATE):
                 raise SolverFailedError(
                     f"CG solver did not converge: relative residual "

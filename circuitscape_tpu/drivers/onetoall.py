@@ -150,11 +150,16 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
 
     idx_active = np.nonzero(active)[0]
     if idx_active.size:
+        import time as _time
+
+        from .. import stats
+        _t0 = _time.perf_counter()
         X, rel, iters = stencil_solve_advanced_batch(
             S64, src_cells[idx_active], src_vals[idx_active],
             gnd_cells[idx_active], gnd_vals[idx_active],
             rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
             prec=prec, prec_apply=geomg_apply, proj=proj)
+        stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
         if np.any(rel >= consts.RESIDUAL_GATE):
             raise SolverFailedError(
                 f"one-to-all device solve residual {float(rel.max())} "

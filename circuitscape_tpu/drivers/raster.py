@@ -214,10 +214,15 @@ def _regions_device_path(rasterdata, flags, cfg, dtype, pts, exclude_set,
         proj = build_poly_projector_rows([jb[2] for jb in chunk], (Hp, Wp))
         src_cells = np.asarray([jb[3] for jb in chunk], np.int64)
         dst_cells = np.asarray([jb[4] for jb in chunk], np.int64)
+        import time as _time
+
+        from .. import stats
+        _t0 = _time.perf_counter()
         X, rel, iters = stencil_solve_pairs(
             S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
             itmax=consts.CG_ITMAX, prec=prec, prec_apply=prec_apply,
             proj=proj)
+        stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
         if np.any(rel >= consts.RESIDUAL_GATE):
             raise SolverFailedError(
                 f"CG solver did not converge: relative residual "

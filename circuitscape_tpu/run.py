@@ -40,6 +40,8 @@ def _run(cfg: CSConfig):
         cslog.info("Solves are batched on the accelerator "
                    "(parallelize flag accepted for compatibility)")
     CSTIMER.reset()
+    from . import stats
+    stats.reset()
     with CSTIMER("complete job"):
         r = _compute(cfg, dtype)
     if cfg.log_level == logging.DEBUG:

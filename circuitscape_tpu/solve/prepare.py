@@ -80,4 +80,14 @@ def prepare_stencil_solver(planes, use_mg=True):
             prec = build_geo_mg_device(_to_dtype(S64, jnp.float32),
                                        expand_pallas=expand)
         prec_apply = geomg_apply
+
+    # north-star bookkeeping (BASELINE.json: sustained nnz/s + %SOL):
+    # fine nnz from the host planes, kernel choice per MG level
+    from .. import stats
+    edges = sum(int(np.count_nonzero(p)) for p in planes[:4])
+    stats.record(fine_nnz=2 * edges + int(np.count_nonzero(planes[4])),
+                 cells=Hp * Wp,
+                 mg_kernels=[("pallas" if lv.A.pallas is not None else "xla")
+                             for lv in getattr(prec, "levels", ())] or
+                            ["xla-jacobi"])
     return S64, prec, prec_apply, (H0, W0)

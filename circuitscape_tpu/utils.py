@@ -116,7 +116,8 @@ def compute_omniscape_current(conductance: np.ndarray, source: np.ndarray,
 
     for c in data.cc:
         c = np.sort(np.asarray(c))
-        a_local = G[np.ix_(c - 1, c - 1)].tocsr()
+        # row then column slice (np.ix_ on CSR densifies the index mesh)
+        a_local = G.tocsr()[c - 1][:, c - 1].tocsr()
         s_local = sources[c - 1]
         g_local = grounds[c - 1]
         if s_local.sum() == 0 or g_local.sum() == 0:
