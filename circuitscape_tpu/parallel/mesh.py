@@ -143,6 +143,123 @@ def sharded_stencil_cg(mesh: Mesh, A: StencilOperator, B, rtol=1e-6,
     return fn(A, B, rtol, itmax=itmax)
 
 
+@jax.tree_util.register_pytree_node_class
+class ShardStencil:
+    """Halo-extended per-shard stencil for the shard_map matvec.
+
+    GSPMD can partition the XLA shifted-plane matvec automatically, but
+    it cannot partition the fused Pallas kernel (no partitioning rule),
+    so sharded runs used to silently lose the fastest kernel.  This
+    carries everything the manual-collective formulation needs:
+
+    ext:  5 planes of GLOBAL shape (nsh*(Hl+2), W), 'nodes'-sharded —
+          each shard's rows with one halo row from each neighbor shard
+          (ppermute'd once at setup; planes are solve-invariant).
+    pal:  optional 9 output-aligned Pallas planes per shard (pre-
+          expanded from ext at setup), same global stacking.
+    mesh/nsh/h_local: static layout facts (mesh objects are hashable).
+
+    The per-matvec exchange is then just TWO rows of x per shard
+    boundary (ppermute over ICI), and each shard runs the SAME
+    single-device kernel — Pallas on TPU — on its extended block.
+    """
+
+    def __init__(self, ext, pal, mesh, nsh, h_local):
+        self.ext = ext          # tuple of 5 arrays
+        self.pal = pal          # tuple of 9 arrays or None
+        self.mesh = mesh
+        self.nsh = nsh
+        self.h_local = h_local  # rows per shard WITHOUT halo
+
+    def tree_flatten(self):
+        return (self.ext, self.pal), (self.mesh, self.nsh, self.h_local)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def build_shard_stencil(mesh: Mesh, A: StencilOperator,
+                        want_pallas: bool | None = None):
+    """ShardStencil for A (planes 'nodes'-shardable); None when the row
+    count doesn't split evenly over the mesh."""
+    nsh = mesh.shape["nodes"]
+    H, W = A.shape
+    if H % nsh or (H // nsh) < 8:
+        return None
+    fwd = [(i, i + 1) for i in range(nsh - 1)]
+    bwd = [(i + 1, i) for i in range(nsh - 1)]
+    rows = P("nodes", None)
+
+    def ext_one(p):
+        up = jax.lax.ppermute(p[-1:], "nodes", fwd)    # neighbor above
+        dn = jax.lax.ppermute(p[:1], "nodes", bwd)     # neighbor below
+        return jnp.concatenate([up, p, dn], axis=0)
+
+    def prolog(we, ws, wse, wne, diag):
+        return tuple(ext_one(p) for p in (we, ws, wse, wne, diag))
+
+    planes = tuple(jax.device_put(p, NamedSharding(mesh, rows))
+                   for p in (A.we, A.ws, A.wse, A.wne, A.diag))
+    ext = jax.jit(jax.shard_map(prolog, mesh=mesh, in_specs=(rows,) * 5,
+                                out_specs=(rows,) * 5))(*planes)
+
+    pal = None
+    if want_pallas is None:
+        want_pallas = (not os.environ.get("CS_NO_PALLAS") and
+                       jax.default_backend() == "tpu")
+    if want_pallas:
+        from ..solve.pallas_stencil import _expand_planes, supported
+        h_ext = H // nsh + 2
+        if supported((h_ext, W), 4) and A.diag.dtype == jnp.float32:
+            pal = jax.jit(jax.shard_map(
+                lambda *ps: _expand_planes(*ps), mesh=mesh,
+                in_specs=(rows,) * 5, out_specs=(rows,) * 9))(*ext)
+    return ShardStencil(tuple(ext), pal, mesh, nsh, H // nsh)
+
+
+def shard_matvec(ss: ShardStencil, x: jnp.ndarray) -> jnp.ndarray:
+    """y = L x with manual halo exchange: per matvec each shard
+    ppermutes its boundary rows of x to its neighbors, then runs the
+    single-device stencil kernel (Pallas when available) on its
+    (Hl+2)-row extended block and drops the halo rows of y."""
+    from ..solve.stencil import StencilOperator as _S, stencil_matvec
+    mesh, nsh = ss.mesh, ss.nsh
+    fwd = [(i, i + 1) for i in range(nsh - 1)]
+    bwd = [(i + 1, i) for i in range(nsh - 1)]
+    rows = P("nodes", None)
+    xspec = P("batch", "nodes", None)
+    h_ext = ss.h_local + 2
+    W = x.shape[-1]
+    b_local = x.shape[0] // mesh.shape["batch"]
+
+    use_pal = False
+    if ss.pal is not None:
+        from ..solve.pallas_stencil import supported
+        use_pal = (supported((h_ext, W), b_local) and
+                   x.dtype == ss.ext[4].dtype)
+
+    def body(we, ws, wse, wne, diag, *rest):
+        xs = rest[-1]
+        up = jax.lax.ppermute(xs[:, -1:], "nodes", fwd)
+        dn = jax.lax.ppermute(xs[:, :1], "nodes", bwd)
+        xe = jnp.concatenate([up, xs, dn], axis=1)
+        if use_pal:
+            from ..solve.pallas_stencil import PallasStencil, pallas_matvec
+            ye = pallas_matvec(PallasStencil(*rest[:-1], H=h_ext), xe)
+        else:
+            ye = stencil_matvec(_S(we, ws, wse, wne, diag), xe)
+        return ye[:, 1:-1]
+
+    operands = ss.ext + (ss.pal if use_pal else ()) + (x,)
+    nplanes = len(operands) - 1
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation, so the replication checker rejects it on TPU
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(rows,) * nplanes + (xspec,),
+                         out_specs=xspec, check_vma=False)(*operands)
+
+
 def pad_to_mesh(arr: np.ndarray, mesh: Mesh) -> np.ndarray:
     """Pad leading (row) and trailing (batch) dims to multiples of the
     mesh axis sizes so shards are equal."""

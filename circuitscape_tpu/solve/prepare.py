@@ -67,9 +67,23 @@ def prepare_stencil_solver(planes, use_mg=True):
     prec = prec_apply = None
     if use_mg and planes[0].size > 4096:
         if mesh is not None:
-            # sharded runs build on host and place levels explicitly
-            # (the Pallas kernel has no GSPMD partitioning — XLA path)
+            # sharded runs build on host and place levels explicitly;
+            # the fine level (where the bytes are) gets the shard_map
+            # halo-exchange matvec so each shard can run the fused
+            # Pallas kernel — GSPMD alone cannot partition Pallas calls
             prec = shard_hierarchy(mesh, build_geo_mg(planes_np=planes))
+            from ..parallel.mesh import build_shard_stencil
+            from .geomg import GeoMgHierarchy, GeoMgLevel
+            if prec.levels:
+                lv0 = prec.levels[0]
+                ss = build_shard_stencil(mesh, lv0.A)
+                if ss is not None:
+                    A0 = StencilOperator(lv0.A.we, lv0.A.ws, lv0.A.wse,
+                                         lv0.A.wne, lv0.A.diag, None, ss)
+                    prec = GeoMgHierarchy(
+                        (GeoMgLevel(A0, lv0.inv_diag, lv0.lam_max),) +
+                        prec.levels[1:], prec.coarse_pinv,
+                        prec.coarse_shape, prec.overcorrect)
         else:
             # single device: the whole hierarchy (and, on TPU, the
             # fused-kernel plane sets) builds on device in one dispatch
@@ -85,9 +99,16 @@ def prepare_stencil_solver(planes, use_mg=True):
     # fine nnz from the host planes, kernel choice per MG level
     from .. import stats
     edges = sum(int(np.count_nonzero(p)) for p in planes[:4])
+    def _kernel_name(lv):
+        ss = getattr(lv.A, "shard", None)
+        if ss is not None:
+            return ("shard_map+pallas" if ss.pal is not None
+                    else "shard_map+xla")
+        return "pallas" if lv.A.pallas is not None else "xla"
+
     stats.record(fine_nnz=2 * edges + int(np.count_nonzero(planes[4])),
                  cells=Hp * Wp,
-                 mg_kernels=[("pallas" if lv.A.pallas is not None else "xla")
+                 mg_kernels=[_kernel_name(lv)
                              for lv in getattr(prec, "levels", ())] or
                             ["xla-jacobi"])
     return S64, prec, prec_apply, (H0, W0)

@@ -40,6 +40,11 @@ class StencilOperator:
             PallasStencil); when attached, stencil_matvec dispatches to
             the fused single-pass Pallas kernel at supported shapes
             (~2.6x the XLA formulation's sustained nnz/s on v5e).
+    shard:  optional halo-extended per-shard plane set
+            (parallel/mesh.py ShardStencil); when attached under a
+            device mesh, stencil_matvec dispatches to the shard_map
+            formulation (explicit ppermute halo exchange, per-shard
+            Pallas on TPU) instead of GSPMD's auto-partitioned XLA ops.
     """
 
     we: jnp.ndarray
@@ -48,10 +53,11 @@ class StencilOperator:
     wne: jnp.ndarray
     diag: jnp.ndarray
     pallas: object = None
+    shard: object = None
 
     def tree_flatten(self):
         return (self.we, self.ws, self.wse, self.wne, self.diag,
-                self.pallas), ()
+                self.pallas, self.shard), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -363,6 +369,12 @@ def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     static shapes/dtypes, so each jitted program contains exactly one
     formulation.
     """
+    shd = getattr(A, "shard", None)
+    if shd is not None and x.shape[-2:] == A.diag.shape and \
+            x.dtype == A.diag.dtype and \
+            x.shape[0] % shd.mesh.shape["batch"] == 0:
+        from ..parallel.mesh import shard_matvec
+        return shard_matvec(shd, x)
     pal = getattr(A, "pallas", None)
     if pal is not None:
         from .pallas_stencil import pallas_matvec, supported

@@ -151,3 +151,64 @@ def test_pad_to_mesh_shapes(mesh8):
     b = pad_to_mesh(block, mesh8)
     assert b.shape[0] % mesh8.shape["batch"] == 0
     assert b.shape[1] % mesh8.shape["nodes"] == 0
+
+
+def test_shard_map_matvec_matches_single_device(mesh8):
+    """The shard_map halo-exchange matvec (parallel/mesh.py
+    ShardStencil) must reproduce the single-device stencil matvec
+    exactly: the halo rows arriving by ppermute replace the zero-pad
+    boundary reads at shard seams."""
+    from circuitscape_tpu.parallel.mesh import build_shard_stencil
+    from circuitscape_tpu.solve.stencil import (StencilOperator,
+                                                stencil_from_gmap,
+                                                stencil_matvec)
+    rng = np.random.default_rng(3)
+    H, W, B = 128, 96, 8
+    g = rng.uniform(0.5, 3.0, (H, W))
+    g[rng.random((H, W)) < 0.1] = 0.0
+    S = stencil_from_gmap(g, False, False, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+    y_ref = np.asarray(stencil_matvec(S, x))
+
+    ss = build_shard_stencil(mesh8, S, want_pallas=False)
+    assert ss is not None
+    S2 = StencilOperator(S.we, S.ws, S.wse, S.wne, S.diag, None, ss)
+    for f in (stencil_matvec, jax.jit(stencil_matvec)):
+        y = np.asarray(f(S2, x))
+        err = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+        assert err < 1e-6, f"shard_map matvec rel err {err}"
+
+
+def test_shard_stencil_attached_in_production_prepare(mesh8, monkeypatch):
+    """prepare_stencil_solver under a mesh must attach the shard_map
+    formulation to the FINE MG level (the level carrying ~70% of the
+    V-cycle bytes), and the solve through it must still converge to the
+    single-device answer."""
+    monkeypatch.setenv("CS_FORCE_MESH", "1")
+    from circuitscape_tpu.solve.prepare import prepare_stencil_solver
+    from circuitscape_tpu.solve.stencil import (stencil_planes_np,
+                                                stencil_solve_pairs)
+    rng = np.random.default_rng(5)
+    g = rng.uniform(0.5, 3.0, (96, 96))
+    planes = stencil_planes_np(g, False, False)
+    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    assert prec is not None
+    assert prec.levels[0].A.shard is not None, \
+        "fine level should carry the shard_map halo-exchange matvec"
+
+    src = np.array([[3, 4], [10, 60]])
+    dst = np.array([[90, 88], [50, 20]])
+    X, rel, iters = stencil_solve_pairs(S64, src, dst, prec=prec,
+                                        prec_apply=prec_apply)
+    assert np.all(rel < 1e-6)
+
+    monkeypatch.setenv("CS_DISABLE_MESH", "1")
+    S1, prec1, papply1, _ = prepare_stencil_solver(planes)
+    assert prec1.levels[0].A.shard is None
+    X1, rel1, _ = stencil_solve_pairs(S1, src, dst, prec=prec1,
+                                      prec_apply=papply1)
+    a = np.asarray(X)[:2, :96, :96]   # batch is padded to mesh multiples
+    b = np.asarray(X1)[:2, :96, :96]
+    a = a - a.mean(axis=(1, 2), keepdims=True)
+    b = b - b.mean(axis=(1, 2), keepdims=True)
+    assert np.max(np.abs(a - b)) < 1e-4
