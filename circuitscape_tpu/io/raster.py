@@ -59,6 +59,10 @@ def guess_file_type(path: str) -> int:
         return consts.FILE_TYPE_INCL_PAIRS_AAGRID
     if hdr_line.startswith(consts.FILE_HDR_INCL_PAIRS):
         return consts.FILE_TYPE_INCL_PAIRS
+    if _find_sidecar_hdr(path) is not None:
+        # binary grid with a sidecar header (ESRI EHdr/BIL/FLT, ENVI):
+        # a raster, not a text list (read_raster dispatches on the hdr)
+        return consts.FILE_TYPE_GEOTIFF
     return consts.FILE_TYPE_TXTLIST
 
 
@@ -309,6 +313,135 @@ def _read_tiff(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Sidecar-header binary rasters: ESRI EHdr (.bil/.bip/.bsq/.flt + .hdr)
+# and ENVI (.dat/.img/.envi + ENVI .hdr).  The reference reads these
+# through GDAL's EHdr/ENVI drivers (src/io.jl:517-555 reads *any* GDAL
+# format); these two cover the binary-grid formats real Circuitscape
+# corpora actually ship alongside .asc/.tif.
+# ---------------------------------------------------------------------------
+
+def _find_sidecar_hdr(path: str):
+    import os
+    base, ext = os.path.splitext(path)
+    if ext.lower() == ".hdr":
+        return None
+    for cand in (base + ".hdr", base + ".HDR", path + ".hdr"):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+_ENVI_DTYPES = {1: np.uint8, 2: np.int16, 3: np.int32, 4: np.float32,
+                5: np.float64, 12: np.uint16, 13: np.uint32,
+                14: np.int64, 15: np.uint64}
+
+
+def _deinterleave(raw, nrows, ncols, nbands, interleave, dt):
+    n1 = nrows * ncols
+    arr = np.frombuffer(raw, dtype=dt, count=n1 * nbands)
+    if nbands == 1:
+        return arr.reshape(nrows, ncols)
+    il = interleave.lower()
+    if il == "bsq":   # band-sequential: first band is the raster
+        return arr[:n1].reshape(nrows, ncols)
+    if il == "bip":   # pixel-interleaved
+        return arr.reshape(nrows, ncols, nbands)[:, :, 0]
+    # bil: row-interleaved by band
+    return arr.reshape(nrows, nbands, ncols)[:, 0, :]
+
+
+def _read_envi(path: str, hdr_text: str):
+    """ENVI raster: `key = value` header, binary body."""
+    fields = {}
+    key = None
+    for line in hdr_text.splitlines()[1:]:
+        if "=" in line:
+            key, _, val = line.partition("=")
+            fields[key.strip().lower()] = val.strip()
+        elif key and fields.get(key.strip().lower(), "").startswith("{"):
+            fields[key.strip().lower()] += " " + line.strip()
+    nrows = int(fields["lines"])
+    ncols = int(fields["samples"])
+    nbands = int(fields.get("bands", "1"))
+    dcode = int(fields.get("data type", "4"))
+    if dcode not in _ENVI_DTYPES:
+        raise ValueError(f"unsupported ENVI data type {dcode}")
+    order = ">" if fields.get("byte order", "0").strip() == "1" else "<"
+    dt = np.dtype(_ENVI_DTYPES[dcode]).newbyteorder(order)
+    skip = int(fields.get("header offset", "0"))
+    arr = _deinterleave(_read_bytes(path)[skip:], nrows, ncols, nbands,
+                        fields.get("interleave", "bsq"), dt)
+    nodata = float(fields["data ignore value"]) \
+        if "data ignore value" in fields else None
+    transform = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    mi = fields.get("map info", "")
+    if mi.startswith("{"):
+        parts = [p.strip() for p in mi.strip("{} ").split(",")]
+        if len(parts) >= 7:
+            # parts: proj, ref_col, ref_row, ulx, uly, xdim, ydim, ...
+            # (ref pixel is 1-based and addresses the pixel's UL corner)
+            rc, rr = float(parts[1]), float(parts[2])
+            ulx, uly = float(parts[3]), float(parts[4])
+            xdim, ydim = float(parts[5]), float(parts[6])
+            x0 = ulx - (rc - 1) * xdim
+            y0 = uly + (rr - 1) * ydim
+            transform = (x0, xdim, 0.0, y0, 0.0, -ydim)
+    return arr, nodata, transform, ""
+
+
+def _read_ehdr(path: str, hdr_text: str):
+    """ESRI EHdr/BIL/FLT raster: whitespace `KEY value` header."""
+    fields = {}
+    for line in hdr_text.splitlines():
+        parts = line.split()
+        if len(parts) >= 2:
+            fields[parts[0].lower()] = parts[1]
+    nrows = int(float(fields["nrows"]))
+    ncols = int(float(fields["ncols"]))
+    nbands = int(float(fields.get("nbands", "1")))
+    nbits = int(float(fields.get("nbits", "32")))
+    pixeltype = fields.get("pixeltype", "").upper()
+    if not pixeltype and "byteorder" in fields and \
+            fields["byteorder"].upper() in ("LSBFIRST", "MSBFIRST"):
+        pixeltype = "FLOAT"     # .flt dialect is always float32
+    if pixeltype == "FLOAT":
+        base = {32: np.float32, 64: np.float64}[nbits]
+    elif pixeltype == "SIGNEDINT":
+        base = {8: np.int8, 16: np.int16, 32: np.int32}[nbits]
+    else:
+        base = {1: np.uint8, 8: np.uint8, 16: np.uint16,
+                32: np.uint32}[nbits]
+    bo = fields.get("byteorder", "I").upper()
+    order = ">" if bo in ("M", "MSBFIRST") else "<"
+    dt = np.dtype(base).newbyteorder(order)
+    skip = int(float(fields.get("skipbytes", "0")))
+    arr = _deinterleave(_read_bytes(path)[skip:], nrows, ncols, nbands,
+                        fields.get("layout", "bil"), dt)
+    nodata = None
+    for k in ("nodata_value", "nodata"):
+        if k in fields:
+            nodata = float(fields[k])
+    cellsize = float(fields.get("cellsize", fields.get("xdim", "1")))
+    ydim = float(fields.get("ydim", cellsize))
+    if "ulxmap" in fields:          # ULXMAP = center of UL pixel
+        x0 = float(fields["ulxmap"]) - cellsize / 2
+        y0 = float(fields["ulymap"]) + ydim / 2
+    else:                           # .flt dialect: corner registration
+        x0 = float(fields.get("xllcorner", "0"))
+        y0 = float(fields.get("yllcorner", "0")) + nrows * ydim
+    transform = (x0, cellsize, 0.0, y0, 0.0, -ydim)
+    return arr, nodata, transform, ""
+
+
+def _read_hdr_raster(path: str, hdr_path: str):
+    with open(hdr_path) as f:
+        hdr_text = f.read()
+    if hdr_text.lstrip()[:4].upper() == "ENVI":
+        return _read_envi(path, hdr_text)
+    return _read_ehdr(path, hdr_text)
+
+
+# ---------------------------------------------------------------------------
 # Unified read / write
 # ---------------------------------------------------------------------------
 
@@ -326,6 +459,7 @@ def read_raster(path: str, dtype=np.float64):
 
     data = _read_bytes(path)
     ftype_hdr = data.split(b"\n", 1)[0].decode("latin-1")
+    hdr_sidecar = _find_sidecar_hdr(path)
 
     if len(data) >= 4 and data[:2] in (b"II", b"MM"):
         arr, nodata, transform, wkt = _read_tiff(data)
@@ -335,6 +469,11 @@ def read_raster(path: str, dtype=np.float64):
     elif ftype_hdr.startswith(consts.FILE_HDR_NPY):
         arr = np.load(_io.BytesIO(data))
         nodata, transform, wkt = consts.NODATA, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), ""
+    elif hdr_sidecar is not None and (
+            (ftype_hdr.split() or [""])[0].lower() not in _ASC_KEYS):
+        # binary grid with a sidecar header (ESRI EHdr/BIL/FLT or ENVI);
+        # a text AAGrid wins over a stray .hdr next to it
+        arr, nodata, transform, wkt = _read_hdr_raster(path, hdr_sidecar)
     else:
         arr, nodata, transform, wkt = _read_aagrid(data)
 

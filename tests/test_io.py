@@ -167,3 +167,113 @@ def test_timer_hierarchy():
     table = t.table()
     assert "outer" in table and "inner" in table
     assert t.total("inner") >= 0
+
+
+# ---------------------------------------------------------------------------
+# Sidecar-header binary rasters (ESRI EHdr/BIL/FLT, ENVI) — the GDAL
+# formats beyond .asc/.tif/.npy that real corpora ship
+# (reference reads them via GDAL, src/io.jl:517-555)
+# ---------------------------------------------------------------------------
+
+def _ref_grid():
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0.5, 3.0, (7, 9)).astype(np.float32)
+    a[2, 3] = -9999.0
+    return a
+
+
+def test_read_ehdr_bil(tmp_path):
+    from circuitscape_tpu.io.raster import read_raster
+    a = _ref_grid()
+    p = tmp_path / "g.bil"
+    a.tofile(p)
+    (tmp_path / "g.hdr").write_text(
+        "NROWS 7\nNCOLS 9\nNBANDS 1\nNBITS 32\nPIXELTYPE FLOAT\n"
+        "BYTEORDER I\nLAYOUT BIL\nULXMAP 100.5\nULYMAP 49.5\n"
+        "XDIM 1\nYDIM 1\nNODATA_VALUE -9999\n")
+    arr, wkt, tr = read_raster(str(p))
+    assert arr.shape == (7, 9)
+    assert arr[2, 3] == -9999.0
+    np.testing.assert_allclose(arr[arr != -9999],
+                               a[a != -9999], rtol=1e-6)
+    assert tr[0] == 100.0 and tr[1] == 1.0     # ULXMAP is pixel-center
+
+
+def test_read_ehdr_flt_corner_registration(tmp_path):
+    from circuitscape_tpu.io.raster import read_raster
+    a = _ref_grid()
+    p = tmp_path / "g.flt"
+    a.tofile(p)
+    (tmp_path / "g.hdr").write_text(
+        "ncols 9\nnrows 7\nxllcorner 10\nyllcorner 20\ncellsize 2\n"
+        "NODATA_value -9999\nbyteorder LSBFIRST\n")
+    arr, wkt, tr = read_raster(str(p))
+    assert arr.shape == (7, 9)
+    assert tr[0] == 10.0 and tr[1] == 2.0
+    assert tr[3] == 20.0 + 7 * 2                # top edge
+
+
+def test_read_envi_bsq_big_endian(tmp_path):
+    from circuitscape_tpu.io.raster import read_raster
+    a = _ref_grid().astype(">f4")
+    p = tmp_path / "g.dat"
+    a.tofile(p)
+    (tmp_path / "g.hdr").write_text(
+        "ENVI\nsamples = 9\nlines = 7\nbands = 1\ndata type = 4\n"
+        "interleave = bsq\nbyte order = 1\nheader offset = 0\n"
+        "map info = {UTM, 1, 1, 300.0, 700.0, 30.0, 30.0, 12, North}\n"
+        "data ignore value = -9999\n")
+    arr, wkt, tr = read_raster(str(p))
+    assert arr.shape == (7, 9)
+    assert arr[2, 3] == -9999.0
+    np.testing.assert_allclose(arr[arr != -9999],
+                               _ref_grid()[_ref_grid() != -9999], rtol=1e-6)
+    assert tr == (300.0, 30.0, 0.0, 700.0, 0.0, -30.0)
+
+
+def test_read_envi_bil_multiband_int16(tmp_path):
+    from circuitscape_tpu.io.raster import read_raster
+    rng = np.random.default_rng(5)
+    band0 = rng.integers(1, 50, (4, 6)).astype(np.int16)
+    band1 = rng.integers(1, 50, (4, 6)).astype(np.int16)
+    inter = np.stack([band0, band1], axis=1)    # (rows, bands, cols)
+    p = tmp_path / "g.img"
+    inter.tofile(p)
+    (tmp_path / "g.hdr").write_text(
+        "ENVI\nsamples = 6\nlines = 4\nbands = 2\ndata type = 2\n"
+        "interleave = bil\nbyte order = 0\n")
+    arr, wkt, tr = read_raster(str(p))
+    np.testing.assert_array_equal(arr, band0.astype(np.float64))
+
+
+def test_asc_wins_over_stray_hdr(tmp_path):
+    from circuitscape_tpu.io.raster import read_raster
+    p = tmp_path / "g.asc"
+    p.write_text("ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\n"
+                 "cellsize 1\nNODATA_value -9999\n1 2\n3 4\n")
+    (tmp_path / "g.hdr").write_text("NROWS 2\nNCOLS 2\n")
+    arr, wkt, tr = read_raster(str(p))
+    np.testing.assert_array_equal(arr, [[1, 2], [3, 4]])
+
+
+def test_bil_compute_end_to_end(tmp_path, monkeypatch):
+    """A .bil habitat raster drives the full pairwise pipeline."""
+    import circuitscape_tpu as cs
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0.5, 3.0, (12, 12)).astype(np.float32)
+    g.tofile(tmp_path / "hab.bil")
+    (tmp_path / "hab.hdr").write_text(
+        "NROWS 12\nNCOLS 12\nNBANDS 1\nNBITS 32\nPIXELTYPE FLOAT\n"
+        "BYTEORDER I\nULXMAP 0.5\nULYMAP 11.5\nXDIM 1\nYDIM 1\n")
+    pts = np.zeros((12, 12)); pts[1, 1] = 1; pts[10, 10] = 2
+    np.savetxt(tmp_path / "pts.asc", pts, fmt="%d",
+               header="ncols 12\nnrows 12\nxllcorner 0\nyllcorner 0\n"
+                      "cellsize 1\nNODATA_value -9999", comments="")
+    cfg = {"data_type": "raster", "scenario": "pairwise",
+           "habitat_file": str(tmp_path / "hab.bil"),
+           "habitat_map_is_resistances": "False",
+           "point_file": str(tmp_path / "pts.asc"),
+           "output_file": str(tmp_path / "o.out"),
+           "solver": "cg+amg", "suppress_messages": "True"}
+    r = cs.compute(cfg)
+    assert r.shape == (3, 3) and np.isfinite(r[1, 2]) and r[1, 2] > 0
