@@ -426,11 +426,16 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                 import time as _time
 
                 from .. import stats
+                from ..solve.dispatch import reraise_if_device_oom
                 _t0 = _time.perf_counter()
-                X, relres, iters = stencil_solve_pairs(
-                    S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-                    itmax=consts.CG_ITMAX, prec=prec,
-                    prec_apply=prec_apply, proj=proj)
+                try:
+                    X, relres, iters = stencil_solve_pairs(
+                        S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+                        itmax=consts.CG_ITMAX, prec=prec,
+                        prec_apply=prec_apply, proj=proj)
+                except Exception as e:
+                    reraise_if_device_oom(e, S64.shape[0] * S64.shape[1],
+                                          bsz)
                 stats.record_solve(X.shape, iters,
                                    _time.perf_counter() - _t0)
             if np.any(relres >= consts.RESIDUAL_GATE):
@@ -580,11 +585,16 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                 import time as _time
 
                 from .. import stats
+                from ..solve.dispatch import reraise_if_device_oom
                 _t0 = _time.perf_counter()
-                X, rel, iters = stencil_solve_pairs(
-                    S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
-                    itmax=consts.CG_ITMAX, prec=prec, prec_apply=geomg_apply,
-                    proj=proj)
+                try:
+                    X, rel, iters = stencil_solve_pairs(
+                        S64, src_cells, dst_cells, rtol=consts.CG_RTOL,
+                        itmax=consts.CG_ITMAX, prec=prec,
+                        prec_apply=geomg_apply, proj=proj)
+                except Exception as e:
+                    reraise_if_device_oom(e, S64.shape[0] * S64.shape[1],
+                                          bsz)
                 stats.record_solve(X.shape, iters,
                                    _time.perf_counter() - _t0)
             if np.any(rel >= consts.RESIDUAL_GATE):

@@ -32,6 +32,30 @@ class SolverFailedError(RuntimeError):
     pass
 
 
+def reraise_if_device_oom(e: Exception, cells: int, batch: int):
+    """Turn an opaque device OOM into an actionable capacity error.
+
+    The single-chip capacity model (docs/capacity.md): the iterative
+    grid tier holds ~72 B/cell of operator + MG hierarchy (plus 36
+    B/cell of Pallas planes when W <= 4094) and ~48 B/cell per live RHS
+    column of solve state.  When a job exceeds HBM, say so in those
+    terms instead of surfacing the runtime's allocation dump."""
+    msg = str(e)
+    if not ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+            or "Out of memory" in msg):
+        raise e
+    op_gb = cells * 72 / 2**30
+    col_gb = cells * 48 / 2**30
+    raise SolverFailedError(
+        f"device out of memory: the {cells}-cell grid needs "
+        f"~{op_gb:.1f} GB for the operator + multigrid hierarchy and "
+        f"~{col_gb:.2f} GB per concurrent RHS column "
+        f"(batch={batch}).  Reduce the per-chunk batch with "
+        f"CS_SHORTCUT_CHUNK_BYTES, coarsen the grid, or run on a "
+        f"multi-chip mesh (rows shard across chips).  See "
+        f"docs/capacity.md for the capacity model.") from e
+
+
 class CGContext:
     """Per-component CG state: ELL operator + preconditioner on device.
 

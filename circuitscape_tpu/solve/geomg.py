@@ -428,17 +428,29 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
 
 
 def _restrict(r):
-    """2x2 patch sum (P^T); pads odd dims with zero."""
+    """2x2 patch sum (P^T); pads odd dims with zero.
+
+    Four strided slices instead of reshape(B, H/2, 2, W/2, 2).sum:
+    a trailing dim-2 axis pads 2->128 under the TPU's T(8,128) tiled
+    layout — the materialized reshape cost 64x its unpadded bytes
+    (11.8 GB for a 189 MB temp at 7040^2, the 48M-cell OOM)."""
     B, H, W = r.shape
     if H % 2 or W % 2:
         r = jnp.pad(r, ((0, 0), (0, H % 2), (0, W % 2)))
-        H, W = r.shape[1], r.shape[2]
-    return r.reshape(B, H // 2, 2, W // 2, 2).sum(axis=(2, 4))
+    return (r[:, ::2, ::2] + r[:, 1::2, ::2] +
+            r[:, ::2, 1::2] + r[:, 1::2, 1::2])
 
 
 def _prolong(xc, H, W):
-    """Piecewise-constant interpolation (P); crops padded dims."""
-    up = jnp.repeat(jnp.repeat(xc, 2, axis=1), 2, axis=2)
+    """Piecewise-constant interpolation (P); crops padded dims.
+
+    Interior padding + three shifted adds: jnp.repeat's broadcast-
+    reshape materializes the same tiled-layout-hostile trailing dim-2
+    temp as the old _restrict (see above)."""
+    zero = jnp.asarray(0, xc.dtype)
+    z = jax.lax.pad(xc, zero, ((0, 0, 0), (0, 1, 1), (0, 1, 1)))
+    from .stencil import _sh
+    up = z + _sh(z, 1, 0) + _sh(z, 0, 1) + _sh(z, 1, 1)
     return up[:, :H, :W]
 
 

@@ -128,10 +128,14 @@ def test_sharded_advanced_batch_matches_single_device(mesh8, monkeypatch):
     def run():
         S, prec, apply_, _ = prepare_stencil_solver(planes)
         gnd_vals = np.full((nb, K), advanced_ground_penalty(S))
+        # rtol=1e-7: the 1e8-scale penalty grounds amplify f32 rounding
+        # in the inner passes, so ~1e-6 true relres is the reliable
+        # floor here (production runs rtol=1e-6, gate 1e-4) — asking
+        # for 1e-8 made the assert hinge on rounding luck
         X, rel, _ = stencil_solve_advanced_batch(
             S, src_cells, src_vals, gnd_cells, gnd_vals,
-            rtol=1e-8, prec=prec, prec_apply=apply_)
-        assert np.all(rel < 1e-6)
+            rtol=1e-7, prec=prec, prec_apply=apply_)
+        assert np.all(rel < 1e-5)
         return np.asarray(X)[:nb, :128, :128]
 
     monkeypatch.setenv("CS_DISABLE_MESH", "1")

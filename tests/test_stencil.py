@@ -305,3 +305,22 @@ def test_poly_project_is_projection():
     lhs = float(jnp.sum(poly_project(proj, y) * z))
     rhs = float(jnp.sum(y * poly_project(proj, z)))
     assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
+
+
+def test_device_oom_reraise_capacity_hint():
+    """An opaque device OOM surfaces as a SolverFailedError carrying the
+    capacity model (docs/capacity.md), not a runtime allocation dump."""
+    import pytest
+    from circuitscape_tpu.solve.dispatch import (SolverFailedError,
+                                                 reraise_if_device_oom)
+    oom = RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                       "space hbm. Used 18.57G of 15.75G hbm.")
+    with pytest.raises(SolverFailedError) as ei:
+        reraise_if_device_oom(oom, 49_562_500, 4)
+    m = str(ei.value)
+    assert "49562500-cell" in m and "CS_SHORTCUT_CHUNK_BYTES" in m
+    assert "capacity" in m
+
+    other = ValueError("something else")
+    with pytest.raises(ValueError):
+        reraise_if_device_oom(other, 100, 1)
