@@ -127,6 +127,13 @@ def main():
             "unit": "s",
             "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
         }
+        # north-star metrics of the measured job (BASELINE.json)
+        from circuitscape_tpu import stats
+        st = stats.finalize()
+        for k in ("cg_iters", "sustained_nnz_per_s",
+                  "fine_spmv_pct_of_hbm_roofline", "mg_kernels"):
+            if k in st:
+                result[k] = st[k]
         # golden-subset replay on the real backend (opt out: CS_TPU_GOLDEN=0)
         if os.environ.get("CS_TPU_GOLDEN", "1") != "0":
             try:

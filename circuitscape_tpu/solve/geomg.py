@@ -240,6 +240,26 @@ def _unpack_hierarchy(flat, shapes, lams, coarse_shape, overcorrect):
     return GeoMgHierarchy(tuple(levels), pinv, coarse_shape, overcorrect)
 
 
+def attach_pallas_planes(hier: GeoMgHierarchy) -> GeoMgHierarchy:
+    """Expand the 9 output-aligned Pallas planes for every level whose
+    shape the fused kernel supports (one small jitted dispatch per
+    level).  Lets the HOST-built hierarchy feed the Pallas matvec on
+    TPU — the device-built path expands inline, but its fused setup
+    program costs a very large one-time server compile per new grid
+    shape, which dominates cold starts above a few Mcells."""
+    from .pallas_stencil import PallasStencil, supported
+
+    levels = []
+    for L in hier.levels:
+        A = L.A
+        if A.pallas is None and supported(A.shape, 4):
+            A = StencilOperator(A.we, A.ws, A.wse, A.wne, A.diag,
+                                PallasStencil.from_operator(A), A.shard)
+        levels.append(GeoMgLevel(A, L.inv_diag, L.lam_max))
+    return GeoMgHierarchy(tuple(levels), hier.coarse_pinv,
+                          hier.coarse_shape, hier.overcorrect)
+
+
 def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
                  coarse_cells=256, max_levels=12, planes_np=None,
                  fine_op: StencilOperator = None) -> GeoMgHierarchy:

@@ -85,14 +85,26 @@ def prepare_stencil_solver(planes, use_mg=True):
                         prec.levels[1:], prec.coarse_pinv,
                         prec.coarse_shape, prec.overcorrect)
         else:
-            # single device: the whole hierarchy (and, on TPU, the
-            # fused-kernel plane sets) builds on device in one dispatch
-            # from the already-uploaded fine planes
             import os
             expand = (not os.environ.get("CS_NO_PALLAS") and
                       jax.default_backend() == "tpu")
-            prec = build_geo_mg_device(_to_dtype(S64, jnp.float32),
-                                       expand_pallas=expand)
+            dev_max = int(os.environ.get("CS_DEVICE_MG_MAX", "1200000"))
+            if planes[0].size <= dev_max:
+                # single device, bench-scale grids: the whole hierarchy
+                # (and, on TPU, the fused-kernel plane sets) builds on
+                # device in one dispatch from the uploaded fine planes
+                prec = build_geo_mg_device(_to_dtype(S64, jnp.float32),
+                                           expand_pallas=expand)
+            else:
+                # larger grids build on host: the fused device-build
+                # program's one-time server compile grows with grid
+                # shape (~23 min at 7040^2) and dominated cold starts,
+                # while numpy coarsening is seconds and uploads ~6
+                # B/cell; Pallas planes expand per level afterwards
+                from .geomg import attach_pallas_planes
+                prec = build_geo_mg(planes_np=planes)
+                if expand:
+                    prec = attach_pallas_planes(prec)
         prec_apply = geomg_apply
 
     # north-star bookkeeping (BASELINE.json: sustained nnz/s + %SOL):
