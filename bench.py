@@ -74,12 +74,11 @@ def warmup(g):
     like the reference baseline excluding Julia JIT warmup).  Goes
     through prepare_stencil_solver — the same setup path compute() takes
     — so the exact kernel variant (Pallas/XLA, mesh/single) warms."""
-    from circuitscape_tpu.solve.prepare import prepare_stencil_solver
-    from circuitscape_tpu.solve.stencil import (stencil_planes_np,
-                                                stencil_solve_pairs)
+    from circuitscape_tpu.solve.prepare import prepare_stencil_solver_from_gmap
+    from circuitscape_tpu.solve.stencil import stencil_solve_pairs
     gm = np.where(g > 0, g, 0.0)
-    planes = stencil_planes_np(gm, False, False)
-    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    S64, prec, prec_apply, _ = prepare_stencil_solver_from_gmap(
+        gm, False, False)
     n_pairs = NPOINTS - 1
     src = np.zeros((n_pairs, 2), np.int64)
     dst = np.zeros((n_pairs, 2), np.int64)

@@ -146,9 +146,8 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.prepare import prepare_stencil_solver
     from ..solve.stencil import (advanced_ground_penalty,
-                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_node_currents,
                                  stencil_solve_advanced_batch)
 
     if (not flags.is_raster or cfg.solver != "cg+amg" or
@@ -165,9 +164,9 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     of = flags.outputflags
 
     cslog.info("advanced device fast path")
-    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
-                               flags.four_neighbors)
-    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
+    from ..solve.prepare import prepare_stencil_solver_from_gmap
+    S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
+        prob.cellmap, flags.avg_res, flags.four_neighbors)
     Hp, Wp = S64.shape
     from ..solve.stencil import build_poly_projector
     proj = (build_poly_projector(nodemap, S64.shape)

@@ -349,8 +349,7 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.prepare import prepare_stencil_solver
-    from ..solve.stencil import (_extract_point_voltages, stencil_planes_np,
+    from ..solve.stencil import (_extract_point_voltages,
                                  stencil_solve_pairs)
 
     points = prob.points
@@ -360,11 +359,10 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
     # (row-sharded over the active mesh when >1 device is visible).
     # Work precision is f32 (cast on device); outer refinement residuals
     # run in plain f64 device ops (solve/stencil.py stencil_solve_pairs).
-    with CSTIMER("build stencil planes"):
-        planes = stencil_planes_np(prob.cellmap, flags.avg_res,
-                                   flags.four_neighbors)
     with CSTIMER("prepare stencil solver (upload + MG setup)"):
-        S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+        from ..solve.prepare import prepare_stencil_solver_from_gmap
+        S64, prec, prec_apply, _ = prepare_stencil_solver_from_gmap(
+            prob.cellmap, flags.avg_res, flags.four_neighbors)
     # polygon (short-circuit region) collapse as the exact projector
     # (solve/stencil.py PolyProjector); None when the nodemap is 1:1
     from ..solve.stencil import build_poly_projector
@@ -495,8 +493,7 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     from .. import consts
     from ..checkpoint import Checkpoint
     from ..solve.dispatch import SolverFailedError
-    from ..solve.prepare import prepare_stencil_solver
-    from ..solve.stencil import (stencil_node_currents, stencil_planes_np,
+    from ..solve.stencil import (stencil_node_currents,
                                  stencil_solve_pairs)
 
     points = prob.points
@@ -507,9 +504,9 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     H, W = nodemap.shape
 
     cslog.info("pairwise device fast path (maps on)")
-    planes = stencil_planes_np(prob.cellmap, flags.avg_res,
-                               flags.four_neighbors)
-    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
+    from ..solve.prepare import prepare_stencil_solver_from_gmap
+    S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
+        prob.cellmap, flags.avg_res, flags.four_neighbors)
     Hp, Wp = S64.shape   # >= (H, W) under a mesh; crop fetched maps
     from ..solve.stencil import build_poly_projector
     proj = (build_poly_projector(nodemap, S64.shape)

@@ -54,9 +54,8 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.prepare import prepare_stencil_solver
     from ..solve.stencil import (advanced_ground_penalty,
-                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_node_currents,
                                  stencil_solve_advanced_batch)
     from ..graph import build
 
@@ -81,8 +80,9 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     cslog.info("one-to-all device fast path: %s points in one batch",
                len(pts))
 
-    planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
-    S64, prec, geomg_apply, _ = prepare_stencil_solver(planes)
+    from ..solve.prepare import prepare_stencil_solver_from_gmap
+    S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
+        gmap, flags.avg_res, flags.four_neighbors)
 
     # nodemap with polygon (short-circuit region) merging, matching the
     # general path's graph build (src/raster/onetoall.jl:86-90); the

@@ -128,9 +128,8 @@ def _regions_device_path(rasterdata, flags, cfg, dtype, pts, exclude_set,
 
     from .. import consts
     from ..solve.dispatch import SolverFailedError
-    from ..solve.prepare import prepare_stencil_solver
     from ..solve.stencil import (build_poly_projector_rows,
-                                 stencil_node_currents, stencil_planes_np,
+                                 stencil_node_currents,
                                  stencil_solve_pairs)
 
     of = flags.outputflags
@@ -140,8 +139,9 @@ def _regions_device_path(rasterdata, flags, cfg, dtype, pts, exclude_set,
 
     cslog.info("focal-regions device fast path: shared operator, "
                "per-pair projector")
-    planes = stencil_planes_np(gmap, flags.avg_res, flags.four_neighbors)
-    S64, prec, prec_apply, _ = prepare_stencil_solver(planes)
+    from ..solve.prepare import prepare_stencil_solver_from_gmap
+    S64, prec, prec_apply, _ = prepare_stencil_solver_from_gmap(
+        gmap, flags.avg_res, flags.four_neighbors)
     Hp, Wp = S64.shape
 
     structure = (np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])

@@ -20,8 +20,86 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .stencil import StencilOperator, _split_planes, _to_dtype
+from .stencil import (StencilOperator, _split_planes, _to_dtype,
+                      stencil_from_gmap_device)
 from .geomg import build_geo_mg, build_geo_mg_device, geomg_apply
+
+
+def _kernel_name(lv):
+    ss = getattr(lv.A, "shard", None)
+    if ss is not None:
+        return ("shard_map+pallas" if ss.pal is not None
+                else "shard_map+xla")
+    return "pallas" if lv.A.pallas is not None else "xla"
+
+
+_planes_from_gmap_j = jax.jit(stencil_from_gmap_device,
+                              static_argnums=(1, 2))
+
+
+def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
+                                     use_mg=True):
+    """Single-device fast setup: upload the (H, W) conductance map and
+    build the 5 stencil planes ON DEVICE (stencil_from_gmap_device).
+
+    Only ~8 MB/Mcell crosses the host->device link instead of the
+    ~40 MB/Mcell of five pre-built f64 planes — on the tunneled TPU the
+    plane upload alone was ~1.1 s of a 2.4 s warm 1M-cell job.  Mesh
+    and large-grid (host MG build) configurations fall back to the
+    host-plane path, which needs the numpy planes anyway."""
+    import os
+
+    from ..parallel.mesh import active_mesh
+    from .stencil import stencil_planes_np
+
+    gmap = np.asarray(gmap)
+    H0, W0 = gmap.shape
+    dev_max = int(os.environ.get("CS_DEVICE_MG_MAX", "1200000"))
+    if active_mesh(H0 * W0) is not None or gmap.size > dev_max:
+        return prepare_stencil_solver(
+            stencil_planes_np(gmap, avg_res, four_neighbors), use_mg)
+
+    qh = qw = 128   # shape bucketing, as prepare_stencil_solver
+    Hp = -(-H0 // qh) * qh
+    Wp = -(-W0 // qw) * qw
+    g = np.zeros((Hp, Wp), np.float64)
+    g[:H0, :W0] = np.where(gmap > 0, gmap, 0.0)
+    S64 = _planes_from_gmap_j(jnp.asarray(g), bool(avg_res),
+                              bool(four_neighbors))
+
+    prec = prec_apply = None
+    if use_mg and Hp * Wp > 4096:
+        expand = (not os.environ.get("CS_NO_PALLAS") and
+                  jax.default_backend() == "tpu")
+        prec = build_geo_mg_device(_to_dtype(S64, jnp.float32),
+                                   expand_pallas=expand)
+        prec_apply = geomg_apply
+
+    # north-star bookkeeping from the host activity pattern (the planes
+    # themselves never visit the host): fine nnz = 2*edges + nonzero
+    # diagonal entries (active cells with >= 1 active neighbor)
+    act = g > 0
+    edges = (int(np.count_nonzero(act[:, :-1] & act[:, 1:])) +
+             int(np.count_nonzero(act[:-1, :] & act[1:, :])))
+    nbr = np.zeros_like(act)
+    nbr[:, :-1] |= act[:, 1:]
+    nbr[:, 1:] |= act[:, :-1]
+    nbr[:-1, :] |= act[1:, :]
+    nbr[1:, :] |= act[:-1, :]
+    if not four_neighbors:
+        edges += (int(np.count_nonzero(act[:-1, :-1] & act[1:, 1:])) +
+                  int(np.count_nonzero(act[1:, :-1] & act[:-1, 1:])))
+        nbr[:-1, :-1] |= act[1:, 1:]
+        nbr[1:, 1:] |= act[:-1, :-1]
+        nbr[1:, :-1] |= act[:-1, 1:]
+        nbr[:-1, 1:] |= act[1:, :-1]
+    from .. import stats
+    stats.record(fine_nnz=2 * edges + int(np.count_nonzero(act & nbr)),
+                 cells=Hp * Wp,
+                 mg_kernels=[_kernel_name(lv)
+                             for lv in getattr(prec, "levels", ())] or
+                            ["xla-jacobi"])
+    return S64, prec, prec_apply, (H0, W0)
 
 
 def prepare_stencil_solver(planes, use_mg=True):
@@ -111,13 +189,6 @@ def prepare_stencil_solver(planes, use_mg=True):
     # fine nnz from the host planes, kernel choice per MG level
     from .. import stats
     edges = sum(int(np.count_nonzero(p)) for p in planes[:4])
-    def _kernel_name(lv):
-        ss = getattr(lv.A, "shard", None)
-        if ss is not None:
-            return ("shard_map+pallas" if ss.pal is not None
-                    else "shard_map+xla")
-        return "pallas" if lv.A.pallas is not None else "xla"
-
     stats.record(fine_nnz=2 * edges + int(np.count_nonzero(planes[4])),
                  cells=Hp * Wp,
                  mg_kernels=[_kernel_name(lv)

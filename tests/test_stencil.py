@@ -324,3 +324,60 @@ def test_device_oom_reraise_capacity_hint():
     other = ValueError("something else")
     with pytest.raises(ValueError):
         reraise_if_device_oom(other, 100, 1)
+
+
+def test_device_planes_match_host():
+    """stencil_from_gmap_device == stencil_planes_np for all four
+    weight-rule combinations, NODATA holes included (the production
+    prepare_stencil_solver_from_gmap path uploads the gmap and builds
+    planes on device; src/raster/pairwise.jl:364-367 weight rules)."""
+    import jax.numpy as jnp
+
+    from circuitscape_tpu.solve.stencil import (stencil_from_gmap_device,
+                                                stencil_planes_np)
+
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0.5, 3.0, (23, 31))
+    g[rng.random(g.shape) < 0.2] = 0.0      # inactive holes
+    for avg_res in (False, True):
+        for four in (False, True):
+            host = stencil_planes_np(g, avg_res, four)
+            dev = stencil_from_gmap_device(jnp.asarray(g), avg_res, four,
+                                           dtype=jnp.float64)
+            for hp, dp, name in zip(host,
+                                    (dev.we, dev.ws, dev.wse, dev.wne,
+                                     dev.diag),
+                                    ("we", "ws", "wse", "wne", "diag")):
+                np.testing.assert_allclose(
+                    np.asarray(dp), hp, rtol=1e-13, atol=1e-13,
+                    err_msg=f"{name} avg_res={avg_res} four={four}")
+
+
+def test_prepare_from_gmap_matches_prepare():
+    """The gmap fast path returns the same operator + a working
+    hierarchy as the host-plane path."""
+    import jax
+
+    from circuitscape_tpu.solve.prepare import (
+        prepare_stencil_solver, prepare_stencil_solver_from_gmap)
+    from circuitscape_tpu.solve.stencil import stencil_planes_np
+
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0.5, 3.0, (90, 70))
+    g[rng.random(g.shape) < 0.1] = 0.0
+    import os
+    os.environ["CS_DISABLE_MESH"] = "1"
+    try:
+        Sa, preca, _, shp_a = prepare_stencil_solver(
+            stencil_planes_np(g, False, False))
+        Sb, precb, _, shp_b = prepare_stencil_solver_from_gmap(
+            g, False, False)
+    finally:
+        del os.environ["CS_DISABLE_MESH"]
+    assert shp_a == shp_b == (90, 70)
+    assert Sa.shape == Sb.shape
+    np.testing.assert_allclose(np.asarray(Sb.diag), np.asarray(Sa.diag),
+                               rtol=1e-13, atol=1e-13)
+    assert (preca is None) == (precb is None)
+    if preca is not None:
+        assert len(preca.levels) == len(precb.levels)
