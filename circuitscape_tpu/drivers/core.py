@@ -556,13 +556,14 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                     continue
                 pair_list.append((src_node, dst_node, combos))
 
-    # per-pair map writing runs on a small thread pool: the ASC body
-    # formatter is native (io/fastio.py) and releases the GIL, so the
-    # writes of chunk k overlap the device solve of chunk k+1 (the
-    # reference serializes this behind IO_LOCK, src/out.jl:505-530)
+    # per-pair map writing runs on a thread pool sized to the host: the
+    # ASC body formatter is native (io/fastio.py) and releases the GIL,
+    # so writes overlap each other and the device solve of the next
+    # chunk (the reference serializes this behind IO_LOCK,
+    # src/out.jl:505-530)
     from concurrent.futures import ThreadPoolExecutor
 
-    writer = ThreadPoolExecutor(max_workers=2)
+    writer = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
     pending = []
 
     def _drain():
@@ -618,7 +619,10 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             ncur = None
             if need_cur:
                 with CSTIMER("node currents + reduce"):
-                    ncur = stencil_node_currents(S64, Xb, proj=proj)
+                    # f32 node currents: half the HBM traffic and half
+                    # the fetch bytes; the cum reduction runs in f64
+                    ncur = stencil_node_currents(S64, Xb, proj=proj,
+                                                 out_dtype=jnp.float32)
                     if of.log_transform_maps or of.set_null_currents_to_nodata:
                         # match process_grid! per-map postprocess on device
                         nodata = prob.hbmeta.nodata
@@ -629,8 +633,9 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                             cmask_np[:H, :W] = prob.cellmap == 0
                             ncur = jnp.where(jnp.asarray(cmask_np)[None],
                                              nodata, ncur)
-                    cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0),
-                                               dtype)[:H, :W]
+                    cum.cum_curr += np.asarray(
+                        jnp.sum(ncur, axis=0, dtype=jnp.float64),
+                        dtype)[:H, :W]
                     if of.write_max_cur_maps:
                         np.maximum(cum.max_curr,
                                    np.asarray(jnp.max(ncur, axis=0),
@@ -640,11 +645,13 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             # ONE device->host transfer per chunk (per-pair fetches each
             # pay the full tunnel round-trip latency); cast to f32 ON
             # DEVICE first — halves the tunnel bytes, and f32's ~1e-7
-            # relative rounding sits far below the 1e-6 output tolerance
+            # relative rounding sits far below the 1e-6 output tolerance.
+            # The maps STAY f32 on host: the ASC writer emits 9
+            # significant digits for f32 (exact round-trip) at ~2x the
+            # f64/12-digit throughput, and host RAM traffic halves.
             with CSTIMER("fetch maps"):
-                ncur_h = (np.asarray(ncur.astype(jnp.float32), dtype)
-                          if write_pair_files else None)
-                volt_h = (np.asarray(Xb.astype(jnp.float32), dtype)
+                ncur_h = np.asarray(ncur) if write_pair_files else None
+                volt_h = (np.asarray(Xb.astype(jnp.float32))
                           if of.write_volt_maps else None)
 
             with CSTIMER("write maps"):

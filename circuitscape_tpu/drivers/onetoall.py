@@ -123,42 +123,61 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
         strength = strengths[:npts, 1].astype(np.float64)
     penalty = advanced_ground_penalty(S64)
 
-    src_cells = np.zeros((npts, npts, 2), np.int64)
-    src_vals = np.zeros((npts, npts), np.float64)
-    gnd_cells = np.tile(cells[None], (npts, 1, 1))
-    gnd_vals = np.zeros((npts, npts), np.float64)
     active = np.ones(npts, bool)
-
     for i in range(npts):
         same_comp = (comp_of == comp_of[i]) & (comp_of >= 0)
-        others = same_comp.copy()
-        others[i] = False
-        if not others.any():
+        same_comp[i] = False
+        if not same_comp.any():
             active[i] = False
-            continue
-        if one_to_all:
-            src_cells[i, 0] = cells[i]
-            src_vals[i, 0] = strength[i]
-            gnd_vals[i] = np.where(np.arange(npts) != i, penalty, 0.0)
-        else:
-            src_cells[i] = cells
-            src_vals[i] = np.where(others, strength, 0.0)
-            gnd_vals[i] = np.where(np.arange(npts) == i, penalty, 0.0)
 
     res = np.full(npts, -1.0)
     cum = out.initialize_cum_maps(gmap, of.write_max_cur_maps)
-
     idx_active = np.nonzero(active)[0]
-    if idx_active.size:
+
+    # byte-budgeted focal-column chunks (same scheme as the pairwise
+    # paths, drivers/core.py): ~8 live f64 (B, H, W) blocks per chunk,
+    # so 1M cells x 1000 focal points fits 16 GB instead of
+    # materializing all columns at once.  Ground/source tiles assemble
+    # per chunk — (B, npts) not (npts, npts).  Reference iterates one
+    # point at a time (src/raster/onetoall.jl:146-158).
+    Hp, Wp = S64.shape
+    per_col = Hp * Wp * 8 * 8
+    budget = (4 << 30) if Hp * Wp <= 8_000_000 else (2 << 30)
+    budget = int(os.environ.get("CS_ONETOALL_CHUNK_BYTES", budget))
+    step = max(1, min(4096, budget // max(per_col, 1)))
+    arange = np.arange(npts)
+
+    for s0 in range(0, idx_active.size, step):
+        sel = idx_active[s0:s0 + step]
+        bsz = len(sel)
+        src_cells = np.zeros((bsz, npts, 2), np.int64)
+        src_vals = np.zeros((bsz, npts), np.float64)
+        gnd_cells = np.tile(cells[None], (bsz, 1, 1))
+        gnd_vals = np.zeros((bsz, npts), np.float64)
+        for k, i in enumerate(sel):
+            if one_to_all:
+                src_cells[k, 0] = cells[i]
+                src_vals[k, 0] = strength[i]
+                gnd_vals[k] = np.where(arange != i, penalty, 0.0)
+            else:
+                others = (comp_of == comp_of[i]) & (comp_of >= 0)
+                others[i] = False
+                src_cells[k] = cells
+                src_vals[k] = np.where(others, strength, 0.0)
+                gnd_vals[k] = np.where(arange == i, penalty, 0.0)
+
         import time as _time
 
         from .. import stats
+        from ..solve.dispatch import reraise_if_device_oom
         _t0 = _time.perf_counter()
-        X, rel, iters = stencil_solve_advanced_batch(
-            S64, src_cells[idx_active], src_vals[idx_active],
-            gnd_cells[idx_active], gnd_vals[idx_active],
-            rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-            prec=prec, prec_apply=geomg_apply, proj=proj)
+        try:
+            X, rel, iters = stencil_solve_advanced_batch(
+                S64, src_cells, src_vals, gnd_cells, gnd_vals,
+                rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
+                prec=prec, prec_apply=geomg_apply, proj=proj)
+        except Exception as e:
+            reraise_if_device_oom(e, Hp * Wp, bsz)
         stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
         if np.any(rel >= consts.RESIDUAL_GATE):
             raise SolverFailedError(
@@ -166,10 +185,9 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                 f"exceeds tolerance {consts.RESIDUAL_GATE}")
 
         # per-point results
-        own = jnp.asarray(cells[idx_active], jnp.int32)
-        vals = np.asarray(X[jnp.arange(len(idx_active)), own[:, 0],
-                            own[:, 1]])
-        for k, i in enumerate(idx_active):
+        own = jnp.asarray(cells[sel], jnp.int32)
+        vals = np.asarray(X[jnp.arange(bsz), own[:, 0], own[:, 1]])
+        for k, i in enumerate(sel):
             if one_to_all:
                 v = vals[k] / strength[i]
                 res[i] = -1.0 if v == 0 else v
@@ -184,11 +202,11 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                     np.maximum(cum.max_curr,
                                np.asarray(jnp.max(ncur, axis=0))[:H, :W],
                                out=cum.max_curr)
-            for k, i in enumerate(idx_active):
+            for k, i in enumerate(sel):
                 out.write_grid(np.asarray(ncur[k], dtype)[:H, :W],
                                f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap)
         if of.write_volt_maps:
-            for k, i in enumerate(idx_active):
+            for k, i in enumerate(sel):
                 out.write_grid(np.asarray(X[k], dtype)[:H, :W],
                                f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap,
                                voltage=True)

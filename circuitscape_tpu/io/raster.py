@@ -538,17 +538,27 @@ def write_aagrid(path: str, arr: np.ndarray, meta_transform, nodata=-9999.0):
 
 
 def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
-               nodata=-9999.0, compress: str = "deflate"):
-    """Write a single-band float64 GeoTIFF (one strip; Deflate-compressed
+               nodata=-9999.0, compress: str = "deflate", level: int = 0):
+    """Write a single-band float GeoTIFF (one strip; Deflate-compressed
     by default, mirroring the reference's compressed outputs,
-    src/out.jl:499)."""
-    arr = np.ascontiguousarray(arr, dtype="<f8")
+    src/out.jl:499).  float32 input stays 32-bit (half the bytes — the
+    per-pair device maps are f32 by construction) and compresses at
+    zlib level 1: the maps-on pairwise path writes hundreds of these
+    and level 6 costs ~5x the CPU for ~15% smaller files."""
+    if arr.dtype == np.float32:
+        arr = np.ascontiguousarray(arr, dtype="<f4")
+        bits = 32
+        level = level or 1
+    else:
+        arr = np.ascontiguousarray(arr, dtype="<f8")
+        bits = 64
+        level = level or 6
     nrows, ncols = arr.shape
     pix = arr.tobytes()
     comp_tag = 1
     if compress == "deflate":
         import zlib
-        pix = zlib.compress(pix, 6)
+        pix = zlib.compress(pix, level)
         comp_tag = 8
 
     nodata_ascii = (repr(float(nodata)) + "\x00").encode()
@@ -577,7 +587,7 @@ def write_tiff(path: str, arr: np.ndarray, transform, wkt: str = "",
 
     add(256, 3, 1, struct.pack("<HH", ncols, 0))
     add(257, 3, 1, struct.pack("<HH", nrows, 0))
-    add(258, 3, 1, struct.pack("<HH", 64, 0))
+    add(258, 3, 1, struct.pack("<HH", bits, 0))
     add(259, 3, 1, struct.pack("<HH", comp_tag, 0))
     add(262, 3, 1, struct.pack("<HH", 1, 0))       # BlackIsZero
     # strip offsets resolved after blobs are placed

@@ -433,7 +433,8 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
     levels = []
     for (we, ws, wse, wne, diag, inv, pal), lam, (h, w) in zip(
             levels_raw, lams, shapes):
-        pobj = PallasStencil(*pal, H=h) if pal is not None else None
+        pobj = (PallasStencil(*pal, H=h, W=w) if pal is not None
+                else None)
         levels.append(GeoMgLevel(
             StencilOperator(we, ws, wse, wne, diag, pobj), inv,
             float(lam)))

@@ -42,6 +42,13 @@ from .stencil import StencilOperator
 
 BBLK = 4     # batch columns per grid step
 
+# Wide grids (W > 4094) tile the column dimension: fixed (rows, ctile)
+# whose VMEM footprint is W-independent.  Each column tile DMAs a
+# 128-lane-aligned superset of its +-1 column halo (offset k*CTILE,
+# width CTILE+256), so every neighbor read stays a static slice.
+CTILE = 2048
+CROWS = 16
+
 
 def _pick_rows(W: int) -> int:
     """Largest row-slab height whose VMEM footprint (9 double-buffered
@@ -64,27 +71,35 @@ def _pick_rows(W: int) -> int:
 
 
 def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
-            y_ref, xs, sem, *, rows):
+            y_ref, xs, sem, *, rows, tiled):
     i = pl.program_id(0)       # row slab
-    j = pl.program_id(1)       # batch block
+    if tiled:
+        k = pl.program_id(1)   # column tile
+        j = pl.program_id(2)   # batch block
+    else:
+        j = pl.program_id(1)
 
     # halo'd slab: rows [i*rows, i*rows + rows + 16) of the padded input
     # (x row g lives at padded row g+8, so the slab is 8-row aligned in
-    # both offset and height — a Mosaic DMA-slice requirement)
-    cp = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16)],
-        xs,
-        sem,
-    )
+    # both offset and height — a Mosaic DMA-slice requirement).  In
+    # tiled mode the slab additionally selects columns
+    # [k*CTILE, k*CTILE + CTILE + 256): a 128-aligned offset/width that
+    # contains the +-1 column halo (x col c lives at padded col c+128).
+    src = xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16)]
+    if tiled:
+        src = xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16),
+                        pl.ds(k * CTILE, CTILE + 256)]
+    cp = pltpu.make_async_copy(src, xs, sem)
     cp.start()
     cp.wait()
 
-    b = xs[:]                                  # (BBLK, rows+16, Wp2)
+    b = xs[:]                       # (BBLK, rows+16, Wp2 | CTILE+256)
     W = y_ref.shape[2]
+    choff = 128 if tiled else 1     # slab column of output column 0
 
     def at(dr, dc):
         """x[g+dr, j+dc] as a static slice (output-aligned)."""
-        return b[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
+        return b[:, 8 + dr:8 + dr + rows, choff + dc:choff + dc + W]
 
     y = diag[:][None] * at(0, 0)
     y -= we[:][None] * at(0, 1) + we_w[:][None] * at(0, -1)
@@ -102,29 +117,31 @@ class PallasStencil:
     touches only x)."""
 
     def __init__(self, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw,
-                 diag, H=None):
+                 diag, H=None, W=None):
         (self.we, self.we_w, self.ws, self.ws_up, self.wse, self.wse_uw,
          self.wne, self.wne_dw, self.diag) = (
             we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag)
         self.H = H if H is not None else diag.shape[0]
+        self.W = W if W is not None else diag.shape[1]
 
     def tree_flatten(self):
         return ((self.we, self.we_w, self.ws, self.ws_up, self.wse,
-                 self.wse_uw, self.wne, self.wne_dw, self.diag), (self.H,))
+                 self.wse_uw, self.wne, self.wne_dw, self.diag),
+                (self.H, self.W))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, H=aux[0])
+        return cls(*children, H=aux[0], W=aux[1])
 
     @property
     def shape(self):
-        return (self.H, self.diag.shape[1])
+        return (self.H, self.W)
 
     @classmethod
     def from_operator(cls, S: StencilOperator) -> "PallasStencil":
-        H = S.diag.shape[0]
+        H, W = S.diag.shape
         return cls(*_expand_planes(S.we, S.ws, S.wse, S.wne, S.diag),
-                   H=H)
+                   H=H, W=W)
 
 
 @jax.jit
@@ -134,11 +151,14 @@ def _expand_planes(we, ws, wse, wne, diag):
     tunneled TPU — 15+ dispatches per hierarchy level added seconds to
     every job)."""
     H, W = diag.shape
-    # pad to a 128-row multiple so every _pick_rows choice divides
+    # pad to a 128-row multiple so every _pick_rows choice divides;
+    # wide grids also pad columns to the CTILE quantum for the
+    # column-tiled kernel (padding weights are zero => zero terms)
     Hp = pl.cdiv(H, 128) * 128
+    Wp = pl.cdiv(W, CTILE) * CTILE if W > 4094 else W
 
     def padH(p):
-        return jnp.pad(p, ((0, Hp - H), (0, 0)))
+        return jnp.pad(p, ((0, Hp - H), (0, Wp - W)))
 
     def up(p):   # p[r] <- p[r-1]
         return jnp.concatenate([jnp.zeros_like(p[:1]), p[:-1]], axis=0)
@@ -158,8 +178,12 @@ def _expand_planes(we, ws, wse, wne, diag):
 
 def supported(S_shape, B) -> bool:
     H, W = S_shape
-    return (H >= 64 and W <= 4094 and B % BBLK == 0 and
-            _pick_rows(W) > 0)
+    if H < 64 or B % BBLK != 0:
+        return False
+    if W <= 4094:
+        return _pick_rows(W) > 0
+    # column-tiled kernel: fixed (CROWS, CTILE) footprint, any width
+    return True
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -167,37 +191,60 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
     """y = L x for x (B, H, W) using the fused Pallas kernel."""
     B, H, W = x.shape
-    Hp = P.diag.shape[0]
-    # 8 zero halo rows on top (8-row DMA alignment), zero rows to the
-    # slab extent below, one zero halo column on the left and zeros to a
-    # 128-lane multiple on the right (lane DMA alignment): boundary
-    # reads fall into padding instead of out of bounds
-    Wp2 = pl.cdiv(W + 2, 128) * 128
-    rows = _pick_rows(W)
-    xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
-    grid = (Hp // rows, B // BBLK)
+    Hp, Wplanes = P.diag.shape
 
     # index maps return int32 explicitly: under x64 a python `0` would
     # become an i64 constant, which Mosaic cannot legalize
     zero = np.int32(0)
-    plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
-                              memory_space=pltpu.VMEM)
+
+    if W > 4094:
+        # column-tiled: fixed (CROWS, CTILE) blocks, W-independent VMEM.
+        # 128 halo columns each side (x col c -> padded col c+128) give
+        # 128-aligned DMA offsets that contain the +-1 column halo.
+        rows = CROWS
+        Wp = Wplanes                       # CTILE multiple (expand)
+        xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
+        grid = (Hp // rows, Wp // CTILE, B // BBLK)
+        plane_spec = pl.BlockSpec((rows, CTILE), lambda i, k, j: (i, k),
+                                  memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((BBLK, rows, CTILE),
+                                lambda i, k, j: (j, i, k),
+                                memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((BBLK, rows + 16, CTILE + 256), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), x.dtype)
+        tiled = True
+    else:
+        # 8 zero halo rows on top (8-row DMA alignment), zero rows to
+        # the slab extent below, one zero halo column on the left and
+        # zeros to a 128-lane multiple on the right (lane DMA
+        # alignment): boundary reads fall into padding, not OOB
+        Wp2 = pl.cdiv(W + 2, 128) * 128
+        rows = _pick_rows(W)
+        xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+        grid = (Hp // rows, B // BBLK)
+        plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
+                                  memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                                memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((BBLK, rows + 16, Wp2), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Hp, W), x.dtype)
+        tiled = False
+
     y = pl.pallas_call(
-        functools.partial(_kernel, rows=rows),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, W), x.dtype),
+        functools.partial(_kernel, rows=rows, tiled=tiled),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # x, manual halo DMA
             plane_spec, plane_spec, plane_spec, plane_spec,
             plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
         ],
-        out_specs=pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((BBLK, rows + 16, Wp2), x.dtype),
+            scratch,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw, P.wne, P.wne_dw,
       P.diag)
-    return y[:, :H]
+    return y[:, :H, :W]

@@ -76,25 +76,12 @@ def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
         prec_apply = geomg_apply
 
     # north-star bookkeeping from the host activity pattern (the planes
-    # themselves never visit the host): fine nnz = 2*edges + nonzero
-    # diagonal entries (active cells with >= 1 active neighbor)
-    act = g > 0
-    edges = (int(np.count_nonzero(act[:, :-1] & act[:, 1:])) +
-             int(np.count_nonzero(act[:-1, :] & act[1:, :])))
-    nbr = np.zeros_like(act)
-    nbr[:, :-1] |= act[:, 1:]
-    nbr[:, 1:] |= act[:, :-1]
-    nbr[:-1, :] |= act[1:, :]
-    nbr[1:, :] |= act[:-1, :]
-    if not four_neighbors:
-        edges += (int(np.count_nonzero(act[:-1, :-1] & act[1:, 1:])) +
-                  int(np.count_nonzero(act[1:, :-1] & act[:-1, 1:])))
-        nbr[:-1, :-1] |= act[1:, 1:]
-        nbr[1:, 1:] |= act[:-1, :-1]
-        nbr[1:, :-1] |= act[:-1, 1:]
-        nbr[:-1, 1:] |= act[1:, :-1]
+    # themselves never visit the host); adjacency rules live in
+    # solve/stencil.py next to the plane builder so they can't diverge
+    from .stencil import stencil_activity_stats
+
     from .. import stats
-    stats.record(fine_nnz=2 * edges + int(np.count_nonzero(act & nbr)),
+    stats.record(fine_nnz=stencil_activity_stats(g, four_neighbors),
                  cells=Hp * Wp,
                  mg_kernels=[_kernel_name(lv)
                              for lv in getattr(prec, "levels", ())] or

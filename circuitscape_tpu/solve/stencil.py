@@ -283,6 +283,32 @@ def stencil_planes_np(gmap: np.ndarray, avg_res: bool, four_neighbors: bool):
     return we, ws, wse, wne, diag
 
 
+def stencil_activity_stats(gmap: np.ndarray, four_neighbors: bool) -> int:
+    """Fine-level nnz of the stencil Laplacian: 2*edges + number of
+    active cells with at least one active neighbor.
+
+    Lives next to stencil_planes_np so the adjacency rules (4/8
+    neighbors, activity = gmap > 0) have exactly one definition; the
+    stats layer (solve/prepare.py) consumes this for the sustained
+    nnz/s metric."""
+    act = np.asarray(gmap) > 0
+    edges = (int(np.count_nonzero(act[:, :-1] & act[:, 1:])) +
+             int(np.count_nonzero(act[:-1, :] & act[1:, :])))
+    nbr = np.zeros_like(act)
+    nbr[:, :-1] |= act[:, 1:]
+    nbr[:, 1:] |= act[:, :-1]
+    nbr[:-1, :] |= act[1:, :]
+    nbr[1:, :] |= act[:-1, :]
+    if not four_neighbors:
+        edges += (int(np.count_nonzero(act[:-1, :-1] & act[1:, 1:])) +
+                  int(np.count_nonzero(act[1:, :-1] & act[:-1, 1:])))
+        nbr[:-1, :-1] |= act[1:, 1:]
+        nbr[1:, 1:] |= act[:-1, :-1]
+        nbr[1:, :-1] |= act[:-1, 1:]
+        nbr[:-1, 1:] |= act[1:, :-1]
+    return 2 * edges + int(np.count_nonzero(act & nbr))
+
+
 def stencil_from_gmap(gmap: np.ndarray, avg_res: bool, four_neighbors: bool,
                       dtype=np.float32) -> StencilOperator:
     """Build the weight planes from a conductance map, with the same four
@@ -408,7 +434,8 @@ def _apply_op_jit(A, x, pen, proj=None):
 
 
 def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
-                          cutoff=1e-8, proj=None) -> jnp.ndarray:
+                          cutoff=1e-8, proj=None,
+                          out_dtype=None) -> jnp.ndarray:
     """Node current maps from voltage blocks, on device.
 
     Mirrors the reference's node current = max(inflow, outflow) with
@@ -417,7 +444,15 @@ def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
     (B, H, W) voltage blocks.  The cutoff max is taken per column over
     the whole grid (the reference takes it per component; differences
     affect only branches below 1e-8 of the maximum).
+
+    Flow planes are RECOMPUTED in the accumulation pass instead of kept
+    from the threshold pass — peak memory drops from ~11 (B, H, W)
+    blocks to ~5, which is what lets maps-on chunks run at the same
+    batch size as the solve itself.  `out_dtype=float32` additionally
+    halves every block (the maps-on path writes f32 text anyway).
     """
+    if out_dtype is not None and V.dtype != out_dtype:
+        V = V.astype(out_dtype)
     dirs = []  # (dr, dc, weight_plane_at_j)
     dirs.append((0, 1, A.we))                        # E
     dirs.append((0, -1, _sh(A.we[None], 0, 1)[0]))   # W
@@ -427,20 +462,19 @@ def stencil_node_currents(A: StencilOperator, V: jnp.ndarray,
     dirs.append((-1, -1, _sh(A.wse[None], 1, 1)[0]))  # NW
     dirs.append((-1, 1, A.wne))                      # NE
     dirs.append((1, -1, _sh(A.wne[None], -1, 1)[0]))  # SW
+    dirs = [(dr, dc, w.astype(V.dtype)) for dr, dc, w in dirs]
 
     # branch-current cutoff threshold per column (max |signed branch|)
     maxb = jnp.zeros(V.shape[0], V.dtype)
-    flows = []
     for dr, dc, w in dirs:
-        vn = _sh(V, -dr, -dc)
-        f = w[None] * (vn - V)
-        flows.append(f)
+        f = w[None] * (_sh(V, -dr, -dc) - V)
         maxb = jnp.maximum(maxb, jnp.max(jnp.abs(f), axis=(-2, -1)))
     thr = (cutoff * maxb)[:, None, None]
 
     inflow = jnp.zeros_like(V)
     outflow = jnp.zeros_like(V)
-    for f in flows:
+    for dr, dc, w in dirs:
+        f = w[None] * (_sh(V, -dr, -dc) - V)
         f = jnp.where(jnp.abs(f) < thr, 0.0, f)
         inflow = inflow + jnp.maximum(f, 0.0)
         outflow = outflow + jnp.maximum(-f, 0.0)

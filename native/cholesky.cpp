@@ -846,23 +846,39 @@ void chol_solve(void* handle, double* B, int64_t nrhs) {
     const int64_t* perm = H->perm.data();
     const bool prof = getenv("CS_CHOL_PROF") != nullptr;
     double t0 = prof ? now_s() : 0;
-    std::vector<double> Bt(static_cast<size_t>(n) * nrhs);
-    if (prof) fprintf(stderr, "chol_solve alloc: %.3fs\n", now_s() - t0);
     if (H->super) {
+        // RHS columns are independent through both triangular sweeps:
+        // split them across cores, each thread with its own transposed
+        // buffer (the reference's CHOLMOD gets the same effect from
+        // threaded BLAS; here the panels are too small for that)
+        int nth = 1;
+#if defined(_OPENMP)
+        nth = omp_get_max_threads();
+        if (nth > 8) nth = 8;
+        if (nrhs < 2 * nth) nth = std::max<int64_t>(1, nrhs / 2);
+#endif
         if (prof) t0 = now_s();
-        for (int64_t i = 0; i < n; ++i)
-            std::memcpy(&Bt[i * nrhs], B + perm[i] * nrhs,
-                        sizeof(double) * nrhs);
-        if (prof) fprintf(stderr, "chol_solve gather: %.3fs\n", now_s() - t0);
-        super_solve(H->super, Bt.data(), nrhs);
-        if (prof) t0 = now_s();
-        for (int64_t i = 0; i < n; ++i)
-            std::memcpy(B + perm[i] * nrhs, &Bt[i * nrhs],
-                        sizeof(double) * nrhs);
-        if (prof) fprintf(stderr, "chol_solve scatter: %.3fs\n",
-                          now_s() - t0);
+#if defined(_OPENMP)
+#pragma omp parallel for num_threads(nth) schedule(static, 1)
+#endif
+        for (int t = 0; t < nth; ++t) {
+            int64_t c0 = nrhs * t / nth, c1 = nrhs * (t + 1) / nth;
+            int64_t cn = c1 - c0;
+            if (cn <= 0) continue;
+            std::vector<double> Btc(static_cast<size_t>(n) * cn);
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(&Btc[i * cn], B + perm[i] * nrhs + c0,
+                            sizeof(double) * cn);
+            super_solve(H->super, Btc.data(), cn);
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(B + perm[i] * nrhs + c0, &Btc[i * cn],
+                            sizeof(double) * cn);
+        }
+        if (prof) fprintf(stderr, "chol_solve super (%d threads): %.3fs\n",
+                          nth, now_s() - t0);
     } else {
         // scalar engine works on (n x nrhs) column-major
+        std::vector<double> Bt(static_cast<size_t>(n) * nrhs);
         for (int64_t r = 0; r < nrhs; ++r)
             for (int64_t i = 0; i < n; ++i)
                 Bt[r * n + i] = B[perm[i] * nrhs + r];

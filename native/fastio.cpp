@@ -45,16 +45,139 @@ inline int fmt_value(double v, char* buf) {
 
 }  // namespace
 
-extern "C" {
+// --- fast %g-style formatter -------------------------------------------
+//
+// snprintf("%.12g") costs ~350ns/value on this class of host; with only
+// a couple of cores, that alone is ~90s for a 16-point maps-on pairwise
+// job (240 one-million-cell grids).  This formatter emits the same
+// %g-style text (trailing zeros stripped, scientific notation outside
+// [1e-4, 10^sig)) at ~25ns/value by scaling into a uint64 of `sig`
+// significant digits.  The last digit can differ from a correctly
+// rounded printf by one ulp-of-the-last-place (relative ~10^-(sig-1)),
+// far below every output tolerance in the suite (atol 1e-6,
+// src/out.jl:119-121 semantics).
 
-// Append the grid body (space-separated %.12g, one line per row) to an
-// already-open path (caller wrote the 6 header lines).  Returns bytes
-// written, or -1 on IO error.
-long long csio_write_asc_body(const char* path, const double* data,
-                              long long nrows, long long ncols) {
+namespace {
+
+double g_pow10[660];        // 10^(k-330) for k in [0, 660)
+unsigned long long g_p10i[20];
+char g_digit2[200];         // "00".."99" pairs
+
+struct Pow10Init {
+    Pow10Init() {
+        for (int k = 0; k < 660; ++k) g_pow10[k] = std::pow(10.0, k - 330);
+        g_p10i[0] = 1;
+        for (int k = 1; k < 20; ++k) g_p10i[k] = g_p10i[k - 1] * 10ULL;
+        for (int k = 0; k < 100; ++k) {
+            g_digit2[2 * k] = (char)('0' + k / 10);
+            g_digit2[2 * k + 1] = (char)('0' + k % 10);
+        }
+    }
+} g_pow10_init;
+
+// digits of D (with `nd` digits) into dig[], two at a time
+inline void extract_digits(unsigned long long D, int nd, char* dig) {
+    int i = nd;
+    while (i >= 2) {
+        unsigned q = (unsigned)(D % 100);
+        D /= 100;
+        i -= 2;
+        dig[i] = g_digit2[2 * q];
+        dig[i + 1] = g_digit2[2 * q + 1];
+    }
+    if (i) dig[0] = (char)('0' + (unsigned)(D % 10));
+}
+
+inline double pow10d(int e) { return g_pow10[e + 330]; }
+
+inline int fmt_value_fast(double v, char* buf, int sig) {
+    if (v != v) { std::memcpy(buf, "nan", 3); return 3; }
+    int n = 0;
+    if (std::signbit(v)) { buf[n++] = '-'; v = -v; }
+    if (v == 0) { buf[n++] = '0'; return n; }
+    if (std::isinf(v)) { std::memcpy(buf + n, "inf", 3); return n + 3; }
+
+    // integral fast path (NODATA -9999, zero-filled regions, ids)
+    double r = std::floor(v);
+    if (r == v && v < (double)g_p10i[sig]) {
+        unsigned long long u = (unsigned long long)v;
+        char tmp[24];
+        int k = 0;
+        do { tmp[k++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+        while (k) buf[n++] = tmp[--k];
+        return n;
+    }
+
+    // decimal exponent: e10 = floor(log10(v)), via the binary exponent
+    unsigned long long bits;
+    std::memcpy(&bits, &v, 8);
+    int e2 = (int)((bits >> 52) & 0x7FF) - 1022;   // frexp exponent
+    if (e2 == -1022) {                             // subnormal (rare)
+        std::frexp(v, &e2);
+    }
+    int e10 = (int)std::floor((e2 - 1) * 0.30102999566398119521);
+    if (e10 < 307 && v >= pow10d(e10 + 1)) ++e10;
+    else if (v < pow10d(e10)) --e10;
+
+    // scale to exactly `sig` digits
+    int shift = sig - 1 - e10;
+    double scaled;
+    if (shift > 300) scaled = (v * 1e300) * pow10d(shift - 300);
+    else if (shift < -300) scaled = (v * 1e-300) * pow10d(shift + 300);
+    else scaled = v * pow10d(shift);
+    unsigned long long D = (unsigned long long)(scaled + 0.5);
+    if (D >= g_p10i[sig]) { D /= 10; ++e10; }
+    else if (D < g_p10i[sig - 1]) {        // e10 estimate one too high (rare)
+        --e10; ++shift;
+        if (shift > 300) scaled = (v * 1e300) * pow10d(shift - 300);
+        else if (shift < -300) scaled = (v * 1e-300) * pow10d(shift + 300);
+        else scaled = v * pow10d(shift);
+        D = (unsigned long long)(scaled + 0.5);
+        if (D >= g_p10i[sig]) { D /= 10; ++e10; }
+    }
+
+    int nd = sig;
+    while (nd > 1 && D % 10 == 0) { D /= 10; --nd; }
+    char dig[20];
+    extract_digits(D, nd, dig);
+
+    if (e10 >= -4 && e10 < sig) {
+        if (e10 >= nd - 1) {                 // integer, maybe trailing zeros
+            std::memcpy(buf + n, dig, nd); n += nd;
+            for (int i = 0; i < e10 - (nd - 1); ++i) buf[n++] = '0';
+        } else if (e10 >= 0) {               // ddd.ddd
+            std::memcpy(buf + n, dig, e10 + 1); n += e10 + 1;
+            buf[n++] = '.';
+            std::memcpy(buf + n, dig + e10 + 1, nd - e10 - 1);
+            n += nd - e10 - 1;
+        } else {                             // 0.000ddd
+            buf[n++] = '0'; buf[n++] = '.';
+            for (int i = 0; i < -e10 - 1; ++i) buf[n++] = '0';
+            std::memcpy(buf + n, dig, nd); n += nd;
+        }
+    } else {                                 // d.ddde±XX
+        buf[n++] = dig[0];
+        if (nd > 1) {
+            buf[n++] = '.';
+            std::memcpy(buf + n, dig + 1, nd - 1); n += nd - 1;
+        }
+        buf[n++] = 'e';
+        int e = e10;
+        if (e < 0) { buf[n++] = '-'; e = -e; } else buf[n++] = '+';
+        if (e >= 100) { buf[n++] = (char)('0' + e / 100); e %= 100;
+                        buf[n++] = (char)('0' + e / 10); }
+        else buf[n++] = (char)('0' + e / 10);
+        buf[n++] = (char)('0' + e % 10);
+    }
+    return n;
+}
+
+// shared body-writer loop, parameterized on the element reader
+template <typename T, typename Fmt>
+long long write_body(const char* path, const T* data, long long nrows,
+                     long long ncols, Fmt fmt) {
     FILE* f = fopen(path, "ab");
     if (!f) return -1;
-    // buffer a batch of rows; each value worst-case ~26 chars + sep
     const long long ROWS_PER_FLUSH =
         (ncols > 0) ? ((1 << 22) / (28 * ncols) + 1) : 1;
     int nth = 1;
@@ -68,7 +191,6 @@ long long csio_write_asc_body(const char* path, const double* data,
     long long total = 0;
     bool io_err = false;
     for (long long r0 = 0; r0 < nrows && !io_err; r0 += ROWS_PER_FLUSH * nth) {
-        // format nth sub-batches in parallel, write them in order
 #if defined(_OPENMP)
 #pragma omp parallel for num_threads(nth) schedule(static, 1)
 #endif
@@ -81,10 +203,10 @@ long long csio_write_asc_body(const char* path, const double* data,
                 bufs[t].resize((size_t)(b - a) * row_bytes);
             char* p = bufs[t].data();
             for (long long r = a; r < b; ++r) {
-                const double* row = data + r * ncols;
+                const T* row = data + r * ncols;
                 for (long long c = 0; c < ncols; ++c) {
                     if (c) *p++ = ' ';
-                    p += fmt_value(row[c], p);
+                    p += fmt(row[c], p);
                 }
                 *p++ = '\n';
             }
@@ -101,6 +223,43 @@ long long csio_write_asc_body(const char* path, const double* data,
     }
     fclose(f);
     return io_err ? -1 : total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fast %g-style body writers: `sig` significant digits, trailing zeros
+// stripped.  f64 and f32 entry points (the device maps path holds f32).
+long long csio_write_asc_body_fast(const char* path, const double* data,
+                                   long long nrows, long long ncols,
+                                   int sig) {
+    if (sig < 1) sig = 1;
+    if (sig > 17) sig = 17;
+    return write_body(path, data, nrows, ncols,
+                      [sig](double v, char* p) {
+                          return fmt_value_fast(v, p, sig);
+                      });
+}
+
+long long csio_write_asc_body_f32(const char* path, const float* data,
+                                  long long nrows, long long ncols,
+                                  int sig) {
+    if (sig < 1) sig = 1;
+    if (sig > 17) sig = 17;
+    return write_body(path, data, nrows, ncols,
+                      [sig](float v, char* p) {
+                          return fmt_value_fast((double)v, p, sig);
+                      });
+}
+
+// Append the grid body (space-separated %.12g, one line per row) to an
+// already-open path (caller wrote the 6 header lines).  Returns bytes
+// written, or -1 on IO error.
+long long csio_write_asc_body(const char* path, const double* data,
+                              long long nrows, long long ncols) {
+    return write_body(path, data, nrows, ncols,
+                      [](double v, char* p) { return fmt_value(v, p); });
 }
 
 }  // extern "C"

@@ -285,3 +285,40 @@ def test_advanced_device_polygons(tmp_path, monkeypatch):
 
     assert np.abs(np.asarray(v1) - np.asarray(v2)).max() < 1e-4
     assert ((cur1 - cur2) ** 2).sum() < 1e-6
+
+
+@pytest.mark.parametrize("scenario", ["one-to-all", "all-to-one"])
+def test_device_path_multichunk(tmp_path, monkeypatch, scenario):
+    """VERDICT r3 item 5: the device path chunks focal columns under a
+    byte budget.  A shrunken budget forces multiple chunks on a small
+    grid; results (resistances, cum/max maps, per-point current maps)
+    must match the single-chunk run exactly."""
+    d = _job(tmp_path, scenario, write_maps=True)
+    d["write_max_cur_maps"] = "True"
+    monkeypatch.setenv("CS_ONETOALL_DEVICE_MIN", "1")
+
+    r_one = cs.compute(dict(d))
+    cum_one = np.loadtxt(tmp_path / "job_cum_curmap.asc", skiprows=6)
+    max_one = np.loadtxt(tmp_path / "job_max_curmap.asc", skiprows=6)
+    import glob
+    per_point = sorted(os.path.basename(p) for p in
+                       glob.glob(str(tmp_path / "job_curmap_*.asc")))
+    assert per_point, "expected per-point current maps"
+    maps_one = {f: np.loadtxt(tmp_path / f, skiprows=6) for f in per_point}
+
+    # budget for ~2 columns -> 3 chunks of the 6 points
+    monkeypatch.setenv("CS_ONETOALL_CHUNK_BYTES",
+                       str(80 * 80 * 8 * 8 * 2))
+    d["output_file"] = str(tmp_path / "jobc.out")
+    r_chunked = cs.compute(dict(d))
+    cum_chunked = np.loadtxt(tmp_path / "jobc_cum_curmap.asc", skiprows=6)
+    max_chunked = np.loadtxt(tmp_path / "jobc_max_curmap.asc", skiprows=6)
+
+    assert np.allclose(np.asarray(r_one), np.asarray(r_chunked), atol=1e-6)
+    assert ((cum_one - cum_chunked) ** 2).sum() < 1e-8
+    assert ((max_one - max_chunked) ** 2).sum() < 1e-8
+    for f, a in maps_one.items():
+        f2 = f.replace("job_", "jobc_")
+        assert os.path.isfile(tmp_path / f2), f"missing {f2}"
+        b = np.loadtxt(tmp_path / f2, skiprows=6)
+        assert ((a - b) ** 2).sum() < 1e-8, f"{f}"
