@@ -112,6 +112,10 @@ class CSConfig:
     mask_file: str = ""
     solver: str = ST_CG_AMG
     parallelize: bool = False
+    # Circuitscape-4 key, tolerated by the reference's INI parser; here
+    # a value > 0 additionally caps the device batch width (solves per
+    # chunk) — the batched analogue of "number of parallel workers"
+    max_parallel: int = 0
     precision: str = PR_DOUBLE
     use_64bit_indexing: bool = True
     cholmod_batch_size: int = 1000
@@ -171,6 +175,7 @@ class CSConfig:
             mask_file=g("mask_file", ""),
             solver=_parse_solver(g("solver", "cg+amg")),
             parallelize=_parse_bool(d, "parallelize"),
+            max_parallel=int(float(g("max_parallel", "0") or 0)),
             precision=_parse_precision(g("precision", "Double")),
             use_64bit_indexing=_parse_bool(d, "use_64bit_indexing", "true"),
             cholmod_batch_size=int(g("cholmod_batch_size", "1000")),
@@ -224,6 +229,7 @@ class CSConfig:
             "mask_file": self.mask_file,
             "solver": self.solver,
             "parallelize": b(self.parallelize),
+            "max_parallel": str(self.max_parallel),
             "precision": self.precision,
             "use_64bit_indexing": b(self.use_64bit_indexing),
             "cholmod_batch_size": str(self.cholmod_batch_size),

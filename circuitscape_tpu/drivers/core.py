@@ -157,7 +157,8 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                     prob.cellmap.size > 0 and prob.nodemap.size > 0)
     if stencil_base and get_shortcut:
         _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
-                                shortcut_res, dtype, ckpt, done_pairs)
+                                shortcut_res, dtype, ckpt, done_pairs,
+                                max_par=getattr(cfg, "max_parallel", 0))
         ckpt.finish()
         resistances = shortcut_res
         np.fill_diagonal(resistances, 0)
@@ -337,7 +338,7 @@ _shortcut_chunk_cap = 4096
 
 def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
                             shortcut_res, dtype, ckpt=None,
-                            done_pairs=None):
+                            done_pairs=None, max_par=0):
     """Shortcut-mode pairwise resistances via the grid stencil operator.
 
     Solves the N-1 anchor pairs of EVERY connected component in one
@@ -415,6 +416,10 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
         budget = (4 << 30) if H * W <= 8_000_000 else (2 << 30)
         budget = int(_os.environ.get("CS_SHORTCUT_CHUNK_BYTES", budget))
         step = max(1, min(_shortcut_chunk_cap, budget // max(per_col, 1)))
+        if max_par > 0:
+            # Circuitscape-4 `max_parallel` semantics on TPU: cap the
+            # number of concurrent solves (batch width) per device chunk
+            step = min(step, max_par)
         for s0 in range(0, nb, step):
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
@@ -561,18 +566,109 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     # so writes overlap each other and the device solve of the next
     # chunk (the reference serializes this behind IO_LOCK,
     # src/out.jl:505-530)
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    writer = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
-    pending = []
+    write_pair_files = (of.write_cur_maps and
+                        not of.write_cum_cur_map_only)
+    need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
+                of.write_max_cur_maps)
+    # Fetch reduction: a remote-tunnel TPU moves ~30 MB/s device->host
+    # and the maps-on job is fetch-bound, so when per-pair current maps
+    # are written the pipeline fetches ONLY the voltage maps and
+    # derives each pair's currents on the host (node_currents_np) from
+    # the weight planes it already holds — half the bytes on the wire,
+    # and the per-map cost rides the writer pool.  Polygon jobs keep
+    # the device path (poly_sum has no host twin).
+    host_cur = write_pair_files and proj is None
+    planes_np = None
+    if host_cur:
+        from ..solve.stencil import node_currents_np, stencil_planes_np
+        planes_np = tuple(p.astype(np.float32) for p in
+                          stencil_planes_np(prob.cellmap, flags.avg_res,
+                                            flags.four_neighbors))
+    need_volt_fetch = of.write_volt_maps or host_cur
+    nodata = prob.hbmeta.nodata
 
-    def _drain():
-        for f in pending:
-            f.result()
-        pending.clear()
+    writer = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
+    # dedicated fetch thread: np.asarray on a jax array releases the
+    # GIL for the duration of the device->host transfer, so the NEXT
+    # chunk's solve dispatches while the previous chunk streams over
+    # the (slow) host link.  (copy_to_host_async is NOT used: on the
+    # axon remote backend it wedges the subsequent np.asarray.)
+    fetcher = ThreadPoolExecutor(max_workers=1)
+    pending = []            # write futures (files only, no results)
+    inflight = deque()      # chunks whose device->host copy is streaming
+
+    def _cur_task(vm, names):
+        """One pair on a pool thread: currents from its voltage map,
+        postprocess, write every combo's file; returns the map for the
+        main-thread cum/max reduction."""
+        cmap = node_currents_np(planes_np, vm)
+        if of.log_transform_maps:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cmap = np.where(cmap > 0, np.log10(cmap), nodata)
+        if of.set_null_currents_to_nodata:
+            cmap[prob.cellmap == 0] = nodata
+        for name in names:
+            out.write_grid(cmap, name, cfg, prob.hbmeta)
+        return cmap
+
+    def _drain_one():
+        chunk, rvals_c, volt_fut, ncur_fut = inflight.popleft()
+        with CSTIMER("fetch maps"):
+            volt_h = volt_fut.result() if volt_fut is not None else None
+            ncur_h = ncur_fut.result() if ncur_fut is not None else None
+        cur_futs = []
+        with CSTIMER("write maps"):
+            for col, (src_node, dst_node, combos) in enumerate(chunk):
+                resistance = float(rvals_c[col])
+                names = []
+                for (c_i, c_j) in combos:
+                    resistances[c_i, c_j] = resistance
+                    resistances[c_j, c_i] = resistance
+                    names.append(
+                        f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}")
+                for name in names:
+                    if write_pair_files and not host_cur:
+                        pending.append(writer.submit(
+                            out.write_grid, ncur_h[col][:H, :W].copy(),
+                            name, cfg, prob.hbmeta))
+                    if of.write_volt_maps:
+                        vm = volt_h[col][:H, :W].copy()
+                        if of.set_null_voltages_to_nodata:
+                            vm[prob.cellmap == 0] = nodata
+                        pending.append(writer.submit(
+                            out.write_grid, vm, name, cfg, prob.hbmeta,
+                            voltage=True))
+                if host_cur:
+                    cur_futs.append((writer.submit(
+                        _cur_task, volt_h[col][:H, :W], names),
+                        len(names)))
+                ckpt.mark(combos)
+        if cur_futs:
+            # cum/max accumulate on the main thread IN SUBMISSION ORDER:
+            # a deterministic lock-free reduction (the reference guards
+            # this with Cumulative.lock, src/out.jl:100-107).  One
+            # accumulation PER COMBO — duplicate focal ids at one node
+            # solve once but accumulate once per user pair, exactly as
+            # the reference's per-combo postprocess loop does.
+            with CSTIMER("node currents + reduce"):
+                for f, n_combo in cur_futs:
+                    cmap = f.result()
+                    cum.cum_curr += cmap.astype(dtype, copy=False) * n_combo
+                    if of.write_max_cur_maps:
+                        np.maximum(cum.max_curr, cmap, out=cum.max_curr)
+        if ckpt.enabled:
+            for f in pending:   # a saved chunk's maps must be on disk
+                f.result()
+            pending.clear()
+            ckpt.save(resistances, cum)
 
     per_col = H * W * 8 * 8
     step = max(1, min(2048, (4 << 30) // max(per_col, 1)))
+    if getattr(cfg, "max_parallel", 0) > 0:
+        step = min(step, cfg.max_parallel)
     try:
         for s0 in range(0, len(pair_list), step):
             chunk = pair_list[s0:s0 + step]
@@ -612,12 +708,8 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             Xb = jnp.where(in_comp, Xb - vsrc[:, None, None], 0.0)
             rvals = np.asarray(Xb[cols, dcj[:, 0], dcj[:, 1]])
 
-            write_pair_files = (of.write_cur_maps and
-                                not of.write_cum_cur_map_only)
-            need_cur = (of.write_cur_maps or of.write_cum_cur_map_only or
-                        of.write_max_cur_maps)
             ncur = None
-            if need_cur:
+            if need_cur and not host_cur:
                 with CSTIMER("node currents + reduce"):
                     # f32 node currents: half the HBM traffic and half
                     # the fetch bytes; the cum reduction runs in f64
@@ -625,7 +717,6 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                                                  out_dtype=jnp.float32)
                     if of.log_transform_maps or of.set_null_currents_to_nodata:
                         # match process_grid! per-map postprocess on device
-                        nodata = prob.hbmeta.nodata
                         if of.log_transform_maps:
                             ncur = jnp.where(ncur > 0, jnp.log10(ncur), nodata)
                         if of.set_null_currents_to_nodata:
@@ -633,53 +724,46 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                             cmask_np[:H, :W] = prob.cellmap == 0
                             ncur = jnp.where(jnp.asarray(cmask_np)[None],
                                              nodata, ncur)
+                    # one accumulation PER COMBO (duplicate focal ids
+                    # share a solve but each user pair accumulates, as
+                    # in the reference's per-combo postprocess loop)
+                    combo_n = jnp.asarray(
+                        [len(c[2]) for c in chunk], jnp.float32)
                     cum.cum_curr += np.asarray(
-                        jnp.sum(ncur, axis=0, dtype=jnp.float64),
+                        jnp.einsum("b,bhw->hw", combo_n, ncur,
+                                   preferred_element_type=jnp.float64),
                         dtype)[:H, :W]
                     if of.write_max_cur_maps:
                         np.maximum(cum.max_curr,
                                    np.asarray(jnp.max(ncur, axis=0),
                                               dtype)[:H, :W],
                                    out=cum.max_curr)
+                if not write_pair_files:
+                    ncur = None     # reductions done; nothing to fetch
 
-            # ONE device->host transfer per chunk (per-pair fetches each
-            # pay the full tunnel round-trip latency); cast to f32 ON
-            # DEVICE first — halves the tunnel bytes, and f32's ~1e-7
-            # relative rounding sits far below the 1e-6 output tolerance.
-            # The maps STAY f32 on host: the ASC writer emits 9
-            # significant digits for f32 (exact round-trip) at ~2x the
-            # f64/12-digit throughput, and host RAM traffic halves.
-            with CSTIMER("fetch maps"):
-                ncur_h = np.asarray(ncur) if write_pair_files else None
-                volt_h = (np.asarray(Xb.astype(jnp.float32))
-                          if of.write_volt_maps else None)
-
-            with CSTIMER("write maps"):
-                for col, (src_node, dst_node, combos) in enumerate(chunk):
-                    resistance = float(rvals[col])
-                    for (c_i, c_j) in combos:
-                        resistances[c_i, c_j] = resistance
-                        resistances[c_j, c_i] = resistance
-                        name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
-                        if write_pair_files:
-                            pending.append(writer.submit(
-                                out.write_grid, ncur_h[col][:H, :W].copy(),
-                                name, cfg, prob.hbmeta))
-                        if of.write_volt_maps:
-                            vm = volt_h[col][:H, :W].copy()
-                            if of.set_null_voltages_to_nodata:
-                                vm[prob.cellmap == 0] = prob.hbmeta.nodata
-                            pending.append(writer.submit(
-                                out.write_grid, vm, name, cfg, prob.hbmeta,
-                                voltage=True))
-                    ckpt.mark(combos)
-                if ckpt.enabled:
-                    _drain()   # a saved chunk's maps must be on disk
-                    ckpt.save(resistances, cum)
+            # Pipelined fetch: cast to f32 ON DEVICE (halves the tunnel
+            # bytes; ~1e-7 relative rounding sits far below the 1e-6
+            # output tolerance), start the device->host copy streaming,
+            # and solve the NEXT chunk while it transfers.  Maps STAY
+            # f32 on host: the ASC writer emits 9 significant digits
+            # for f32 (exact round-trip) at ~2x the f64 throughput.
+            volt32 = Xb.astype(jnp.float32) if need_volt_fetch else None
+            volt_fut = (fetcher.submit(np.asarray, volt32)
+                        if volt32 is not None else None)
+            ncur_fut = (fetcher.submit(np.asarray, ncur)
+                        if ncur is not None else None)
+            inflight.append((chunk, rvals, volt_fut, ncur_fut))
+            if len(inflight) >= 2:
+                _drain_one()
+        while inflight:
+            _drain_one()
         with CSTIMER("write maps"):
-            _drain()
+            for f in pending:
+                f.result()
+            pending.clear()
     finally:
         writer.shutdown(wait=True)
+        fetcher.shutdown(wait=True)
     ckpt.finish()
 
 

@@ -145,6 +145,8 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     budget = (4 << 30) if Hp * Wp <= 8_000_000 else (2 << 30)
     budget = int(os.environ.get("CS_ONETOALL_CHUNK_BYTES", budget))
     step = max(1, min(4096, budget // max(per_col, 1)))
+    if getattr(cfg, "max_parallel", 0) > 0:
+        step = min(step, cfg.max_parallel)   # Circuitscape-4 key: cap
     arange = np.arange(npts)
 
     for s0 in range(0, idx_active.size, step):

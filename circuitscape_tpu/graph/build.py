@@ -147,19 +147,22 @@ def laplacian(a: sp.spmatrix) -> sp.csr_matrix:
 
 def components(a: sp.spmatrix):
     """Connected components as sorted 1-based node-id arrays, ordered by
-    smallest member (matches Graphs.jl connected_components)."""
+    smallest member (matches Graphs.jl connected_components).
+
+    Vectorized label grouping — the per-node Python loop cost ~0.6 s of
+    every 1M-node job."""
     n = a.shape[0]
     ncomp, labels = _cc(a, directed=False)
-    comps = [[] for _ in range(ncomp)]
-    order = {}
-    out = []
-    for node in range(n):
-        lbl = labels[node]
-        if lbl not in order:
-            order[lbl] = len(out)
-            out.append([])
-        out[order[lbl]].append(node + 1)
-    return [np.asarray(c, np.int64) for c in out]
+    if ncomp == 0:
+        return []
+    first = np.full(ncomp, n, np.int64)
+    np.minimum.at(first, labels, np.arange(n, dtype=np.int64))
+    rank = np.empty(ncomp, np.int64)
+    rank[np.argsort(first, kind="stable")] = np.arange(ncomp)
+    r = rank[labels]
+    order = np.argsort(r, kind="stable").astype(np.int64) + 1
+    counts = np.bincount(r, minlength=ncomp)
+    return np.split(order, np.cumsum(counts)[:-1])
 
 
 def construct_local_node_map(nodemap: np.ndarray, component: np.ndarray,

@@ -218,15 +218,18 @@ def _decode_block(raw: bytes, rows: int, cols: int, dtype: np.dtype,
     return block
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-                   10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+                   10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
-                  11: "f", 12: "d", 16: "Q", 17: "q"}
+                  11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _tiff_tag_values(bo, data, typ, cnt, val_bytes):
+def _tiff_tag_values(bo, data, typ, cnt, val_bytes, big=False):
+    """Tag payload decode; `big` selects BigTIFF conventions (8-byte
+    inline value slot, 8-byte external offsets, LONG8 types 16-18)."""
     size = _TIFF_TYPE_SIZE[typ] * cnt
-    if size > 4:
-        off = struct.unpack(bo + "I", val_bytes)[0]
+    inline = 8 if big else 4
+    if size > inline:
+        off = struct.unpack(bo + ("Q" if big else "I"), val_bytes)[0]
         raw = data[off:off + size]
     else:
         raw = val_bytes[:size]
@@ -246,13 +249,29 @@ def _read_tiff(data: bytes):
         bo = ">"
     else:
         raise ValueError("Not a TIFF file")
-    ifd_off = struct.unpack(bo + "I", data[4:8])[0]
-    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+    version = struct.unpack(bo + "H", data[2:4])[0]
     tags = {}
-    for k in range(n):
-        e = ifd_off + 2 + 12 * k
-        tag, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
-        tags[tag] = _tiff_tag_values(bo, data, typ, cnt, data[e + 8:e + 12])
+    if version == 43:
+        # BigTIFF (GDAL writes it for >4 GB rasters; src/io.jl:517-555
+        # reads any GDAL driver): 8-byte offsets, 20-byte IFD entries
+        off_size, zero = struct.unpack(bo + "HH", data[4:8])
+        if off_size != 8 or zero != 0:
+            raise ValueError("Unsupported BigTIFF header")
+        ifd_off = struct.unpack(bo + "Q", data[8:16])[0]
+        n = struct.unpack(bo + "Q", data[ifd_off:ifd_off + 8])[0]
+        for k in range(int(n)):
+            e = ifd_off + 8 + 20 * k
+            tag, typ, cnt = struct.unpack(bo + "HHQ", data[e:e + 12])
+            tags[tag] = _tiff_tag_values(bo, data, typ, int(cnt),
+                                         data[e + 12:e + 20], big=True)
+    else:
+        ifd_off = struct.unpack(bo + "I", data[4:8])[0]
+        n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+        for k in range(n):
+            e = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
+            tags[tag] = _tiff_tag_values(bo, data, typ, cnt,
+                                         data[e + 8:e + 12])
 
     width = int(tags[256][0])
     height = int(tags[257][0])

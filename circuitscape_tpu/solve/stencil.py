@@ -694,6 +694,55 @@ def stencil_matvec_np(A: StencilOperator, x: np.ndarray) -> np.ndarray:
     return y
 
 
+def node_currents_np(planes, V: np.ndarray, cutoff=1e-8) -> np.ndarray:
+    """Host (numpy) node currents from one (H, W) voltage map or a
+    (B, H, W) block — the exact same max(inflow, outflow) /
+    cutoff*max-branch semantics as stencil_node_currents.
+
+    Purpose: the remote-tunnel TPU moves ~30 MB/s device->host, so a
+    maps-on pairwise job is fetch-bound.  Fetching ONLY the voltage
+    maps and deriving each pair's current map on the host (the host
+    already holds the weight planes) halves the bytes on the wire; the
+    per-map cost (~40 ms) rides the writer pool.  `planes` is the
+    (we, ws, wse, wne, diag) tuple from stencil_planes_np, any float
+    dtype (computation runs in V.dtype)."""
+    squeeze = V.ndim == 2
+    if squeeze:
+        V = V[None]
+    dt = V.dtype
+    we, ws, wse, wne = (np.asarray(p, dt) for p in planes[:4])
+
+    def sh(p, dr, dc):
+        """out[i, j] = p[i + dr, j + dc], zero fill (matches _sh)."""
+        out = np.zeros_like(p)
+        H, W = p.shape[-2:]
+        rs = slice(max(dr, 0), H + min(dr, 0))
+        cs = slice(max(dc, 0), W + min(dc, 0))
+        rd = slice(max(-dr, 0), H + min(-dr, 0))
+        cd = slice(max(-dc, 0), W + min(-dc, 0))
+        out[..., rd, cd] = p[..., rs, cs]
+        return out
+
+    dirs = [(0, 1, we), (0, -1, sh(we, 0, -1)),
+            (1, 0, ws), (-1, 0, sh(ws, -1, 0)),
+            (1, 1, wse), (-1, -1, sh(wse, -1, -1)),
+            (-1, 1, wne), (1, -1, sh(wne, 1, -1))]
+
+    flows = [w[None] * (sh(V, dr, dc) - V) for dr, dc, w in dirs]
+    maxb = np.zeros(V.shape[0], dt)
+    for f in flows:
+        np.maximum(maxb, np.abs(f).max(axis=(-2, -1)), out=maxb)
+    thr = (cutoff * maxb)[:, None, None]
+    inflow = np.zeros_like(V)
+    outflow = np.zeros_like(V)
+    for f in flows:
+        f = np.where(np.abs(f) < thr, 0, f)
+        inflow += np.maximum(f, 0)
+        outflow += np.maximum(-f, 0)
+    out = np.maximum(inflow, outflow)
+    return out[0] if squeeze else out
+
+
 @partial(jax.jit, static_argnames=("H", "W", "b_pad"))
 def _pairs_rhs(src_cells, dst_cells, H, W, b_pad):
     """Build the ±1 pair RHS block on device from index arrays (the only

@@ -400,3 +400,31 @@ def test_prepare_from_gmap_matches_prepare(monkeypatch):
     assert (preca is None) == (precb is None)
     if preca is not None:
         assert len(preca.levels) == len(precb.levels)
+
+
+def test_node_currents_np_matches_device():
+    """Host node-current computation (fetch-reduction path) must equal
+    the device stencil_node_currents bit-for-bit in semantics."""
+    from circuitscape_tpu.solve.stencil import (node_currents_np,
+                                                stencil_from_gmap,
+                                                stencil_node_currents,
+                                                stencil_planes_np)
+    rng = np.random.default_rng(11)
+    H, W, B = 60, 52, 5
+    g = rng.uniform(0.5, 3, (H, W))
+    g[rng.random((H, W)) < 0.15] = 0
+    planes = stencil_planes_np(g, False, False)
+    S = stencil_from_gmap(g, False, False, np.float64)
+    V = rng.standard_normal((B, H, W))
+    nc_dev = np.asarray(stencil_node_currents(S, jnp.asarray(V)))
+    nc_np = node_currents_np(planes, V)
+    np.testing.assert_allclose(nc_np, nc_dev, rtol=1e-12, atol=1e-12)
+    # f32 path (what the maps pipeline uses)
+    nc32 = node_currents_np(planes, V.astype(np.float32))
+    assert np.abs(nc32 - nc_dev).max() < 1e-5 * max(1, np.abs(nc_dev).max())
+    # 4-neighbor rule
+    p4 = stencil_planes_np(g, True, True)
+    S4 = stencil_from_gmap(g, True, True, np.float64)
+    nc4_dev = np.asarray(stencil_node_currents(S4, jnp.asarray(V)))
+    nc4_np = node_currents_np(p4, V)
+    np.testing.assert_allclose(nc4_np, nc4_dev, rtol=1e-12, atol=1e-12)
