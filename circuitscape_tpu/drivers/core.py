@@ -603,8 +603,12 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     def _cur_task(vm, names):
         """One pair on a pool thread: currents from its voltage map,
         postprocess, write every combo's file; returns the map for the
-        main-thread cum/max reduction."""
-        cmap = node_currents_np(planes_np, vm)
+        main-thread cum/max reduction.  Native path (io/fastio.py)
+        releases the GIL; numpy fallback is semantics-identical."""
+        from ..io import fastio
+        cmap = fastio.node_currents_f32(planes_np, vm)
+        if cmap is None:
+            cmap = node_currents_np(planes_np, vm)
         if of.log_transform_maps:
             with np.errstate(divide="ignore", invalid="ignore"):
                 cmap = np.where(cmap > 0, np.log10(cmap), nodata)
@@ -632,10 +636,10 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                 for name in names:
                     if write_pair_files and not host_cur:
                         pending.append(writer.submit(
-                            out.write_grid, ncur_h[col][:H, :W].copy(),
+                            out.write_grid, ncur_h[col].copy(),
                             name, cfg, prob.hbmeta))
                     if of.write_volt_maps:
-                        vm = volt_h[col][:H, :W].copy()
+                        vm = volt_h[col].copy()
                         if of.set_null_voltages_to_nodata:
                             vm[prob.cellmap == 0] = nodata
                         pending.append(writer.submit(
@@ -643,8 +647,7 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
                             voltage=True))
                 if host_cur:
                     cur_futs.append((writer.submit(
-                        _cur_task, volt_h[col][:H, :W], names),
-                        len(names)))
+                        _cur_task, volt_h[col], names), len(names)))
                 ckpt.mark(combos)
         if cur_futs:
             # cum/max accumulate on the main thread IN SUBMISSION ORDER:
@@ -747,10 +750,18 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             # and solve the NEXT chunk while it transfers.  Maps STAY
             # f32 on host: the ASC writer emits 9 significant digits
             # for f32 (exact round-trip) at ~2x the f64 throughput.
-            volt32 = Xb.astype(jnp.float32) if need_volt_fetch else None
-            volt_fut = (fetcher.submit(np.asarray, volt32)
+            volt32 = (Xb[:, :H, :W].astype(jnp.float32)
+                      if need_volt_fetch else None)
+
+            def _timed_fetch(dev):
+                # wire time as seen by the fetcher thread; the drain's
+                # "fetch maps" section measures only the residual WAIT
+                with CSTIMER("fetch maps (wire)"):
+                    return np.asarray(dev)
+
+            volt_fut = (fetcher.submit(_timed_fetch, volt32)
                         if volt32 is not None else None)
-            ncur_fut = (fetcher.submit(np.asarray, ncur)
+            ncur_fut = (fetcher.submit(_timed_fetch, ncur[:, :H, :W])
                         if ncur is not None else None)
             inflight.append((chunk, rvals, volt_fut, ncur_fut))
             if len(inflight) >= 2:

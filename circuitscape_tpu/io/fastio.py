@@ -57,10 +57,36 @@ def load():
             ctypes.c_int64,
             ctypes.c_int,
         ]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.csio_node_currents_f32.restype = ctypes.c_longlong
+        lib.csio_node_currents_f32.argtypes = [
+            f32p, f32p, f32p, f32p, f32p, f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ]
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def node_currents_f32(planes, V: np.ndarray, cutoff=1e-8):
+    """Native node currents for one (H, W) f32 voltage map; None when
+    the library is unavailable (caller falls back to the numpy
+    implementation, solve/stencil.py node_currents_np — both encode
+    the max(inflow, outflow) / cutoff*max-branch semantics of
+    src/out.jl:178-290)."""
+    lib = load()
+    if lib is None:
+        return None
+    V = np.ascontiguousarray(V, np.float32)
+    H, W = V.shape
+    out = np.empty((H, W), np.float32)
+    we, ws, wse, wne = (np.ascontiguousarray(p, np.float32)
+                        for p in planes[:4])
+    lib.csio_node_currents_f32(we, ws, wse, wne, V, out,
+                               np.int64(H), np.int64(W),
+                               np.float32(cutoff))
+    return out
 
 
 def write_asc_body(path: str, arr: np.ndarray) -> bool:

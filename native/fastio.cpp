@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <vector>
 
 #if defined(_OPENMP)
@@ -260,6 +261,76 @@ long long csio_write_asc_body(const char* path, const double* data,
                               long long nrows, long long ncols) {
     return write_body(path, data, nrows, ncols,
                       [](double v, char* p) { return fmt_value(v, p); });
+}
+
+// Node currents from one (H x W) voltage map and the four directed
+// weight planes (we, ws, wse, wne — zero where no edge): the
+// max(inflow, outflow) / cutoff*max-branch semantics of
+// solve/stencil.py node_currents_np (src/out.jl:178-290), in f32.
+// The maps-on pairwise pipeline computes one of these per written
+// pair on writer-pool threads; the numpy version cost ~150 ms/map of
+// GIL-holding time, this runs ~10 ms and releases the GIL via ctypes.
+long long csio_node_currents_f32(const float* we, const float* ws,
+                                 const float* wse, const float* wne,
+                                 const float* V, float* out,
+                                 long long H, long long W, float cutoff) {
+    if (H <= 0 || W <= 0) return 0;
+    const long long n = H * W;
+    // directions: {dr, dc}; weight of dir d at cell (i,j) is
+    // plane_d[(i+wro_d)*W + (j+wco_d)] with the listed offsets
+    struct Dir { int dr, dc, wro, wco; const float* w; };
+    const Dir dirs[8] = {
+        {0, 1, 0, 0, we},  {0, -1, 0, -1, we},
+        {1, 0, 0, 0, ws},  {-1, 0, -1, 0, ws},
+        {1, 1, 0, 0, wse}, {-1, -1, -1, -1, wse},
+        {-1, 1, 0, 0, wne}, {1, -1, 1, -1, wne},
+    };
+
+    float maxb = 0.0f;
+    for (int d = 0; d < 8; ++d) {
+        const Dir& D = dirs[d];
+        const long long i0 = std::max(0, -D.dr),
+                        i1 = H - std::max(0, D.dr);
+        const long long j0 = std::max(0, -D.dc),
+                        j1 = W - std::max(0, D.dc);
+        const long long woff = (long long)D.wro * W + D.wco;
+        const long long voff = (long long)D.dr * W + D.dc;
+        for (long long i = i0; i < i1; ++i) {
+            const long long base = i * W;
+            for (long long j = j0; j < j1; ++j) {
+                const long long k = base + j;
+                float f = D.w[k + woff] * (V[k + voff] - V[k]);
+                float a = f < 0 ? -f : f;
+                if (a > maxb) maxb = a;
+            }
+        }
+    }
+    const float thr = cutoff * maxb;
+
+    std::vector<float> inflow((size_t)n, 0.0f), outflow((size_t)n, 0.0f);
+    for (int d = 0; d < 8; ++d) {
+        const Dir& D = dirs[d];
+        const long long i0 = std::max(0, -D.dr),
+                        i1 = H - std::max(0, D.dr);
+        const long long j0 = std::max(0, -D.dc),
+                        j1 = W - std::max(0, D.dc);
+        const long long woff = (long long)D.wro * W + D.wco;
+        const long long voff = (long long)D.dr * W + D.dc;
+        for (long long i = i0; i < i1; ++i) {
+            const long long base = i * W;
+            for (long long j = j0; j < j1; ++j) {
+                const long long k = base + j;
+                float f = D.w[k + woff] * (V[k + voff] - V[k]);
+                float a = f < 0 ? -f : f;
+                if (a < thr) continue;
+                if (f > 0) inflow[k] += f;
+                else outflow[k] -= f;
+            }
+        }
+    }
+    for (long long k = 0; k < n; ++k)
+        out[k] = inflow[k] > outflow[k] ? inflow[k] : outflow[k];
+    return n;
 }
 
 }  // extern "C"

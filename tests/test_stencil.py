@@ -428,3 +428,25 @@ def test_node_currents_np_matches_device():
     nc4_dev = np.asarray(stencil_node_currents(S4, jnp.asarray(V)))
     nc4_np = node_currents_np(p4, V)
     np.testing.assert_allclose(nc4_np, nc4_dev, rtol=1e-12, atol=1e-12)
+
+
+def test_node_currents_native_matches_np():
+    """Native csio_node_currents_f32 (io/fastio.py) vs the numpy
+    reference implementation: identical semantics on f32 maps."""
+    from circuitscape_tpu.io import fastio
+    from circuitscape_tpu.solve.stencil import (node_currents_np,
+                                                stencil_planes_np)
+    if fastio.load() is None:
+        pytest.skip("native fastio unavailable")
+    rng = np.random.default_rng(17)
+    for four in (False, True):
+        H, W = 83, 61
+        g = rng.uniform(0.5, 3, (H, W))
+        g[rng.random((H, W)) < 0.12] = 0
+        planes = tuple(p.astype(np.float32)
+                       for p in stencil_planes_np(g, False, four))
+        V = rng.standard_normal((H, W)).astype(np.float32)
+        a = node_currents_np(planes, V)
+        b = fastio.node_currents_f32(planes, V)
+        assert b is not None
+        np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6)
