@@ -498,11 +498,29 @@ def _cheb_smooth(L: GeoMgLevel, b, x):
     r = b if x is None else b - stencil_matvec(L.A, x)
     d = (1.0 / theta) * (Dinv * r)
     x = d if x is None else x + d
+
+    # fused recurrence step (matvec + r/d/x updates in ONE HBM pass)
+    # when the level carries Pallas planes at a supported shape; the
+    # sharded hierarchy never does (shard_hierarchy strips pallas)
+    pal = getattr(L.A, "pallas", None)
+    use_fused = False
+    if pal is not None:
+        from .pallas_stencil import cheb_supported
+        use_fused = (cheb_supported(pal.shape, b.shape[0]) and
+                     b.dtype == pal.diag.dtype and
+                     b.shape[1:] == tuple(pal.shape))
     for _ in range(CHEB_DEGREE - 1):
-        r = r - stencil_matvec(L.A, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (Dinv * r)
-        x = x + d
+        ca = float(rho_new * rho)
+        cb = float(2.0 * rho_new / delta)
+        if use_fused:
+            from .pallas_stencil import pallas_cheb_step
+            r, d, x = pallas_cheb_step(pal, L.inv_diag, r, d, x,
+                                       ca=ca, cb=cb)
+        else:
+            r = r - stencil_matvec(L.A, d)
+            d = ca * d + cb * (Dinv * r)
+            x = x + d
         rho = rho_new
     return x
 

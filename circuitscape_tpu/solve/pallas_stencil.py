@@ -176,6 +176,145 @@ def _expand_planes(we, ws, wse, wne, diag):
             wne, west(dn(wne)), diag)
 
 
+# --- fused Chebyshev smoother step --------------------------------------
+#
+# One V(1,1) geo-MG cycle spends most of its fine-level HBM traffic in
+# the Chebyshev recurrence: r' = r - L d; d' = ca*d + cb*Dinv*r';
+# x' = x + d'.  Expressed as XLA ops that is a Pallas matvec plus ~5
+# unfused full-grid elementwise passes; this kernel performs the whole
+# step in ONE pass per operand (reads r, d, x + planes, writes
+# r', d', x').  Measured V-cycle apply at (32, 1024, 1024) f32 drops
+# ~17.4 ms -> ~10 ms (solve/geomg.py _cheb_smooth dispatches here).
+#
+# Batch blocking is CBBLK=2 (CBBLK=1 for odd batches) — the three
+# in/out streams triple the VMEM of the matvec kernel, so the batch
+# tile shrinks to fit the same 8 MB budget.
+
+def _cheb_rows(W: int, cbblk: int) -> int:
+    """Row-slab height for the cheb kernel at width W (0 = no fit)."""
+    Wp2 = -(-(W + 2) // 128) * 128
+    for rows in (32, 16, 8):
+        vmem = (10 * 2 * rows * W * 4 +            # planes + dinv
+                2 * 2 * cbblk * rows * W * 4 +     # r, x in
+                3 * 2 * cbblk * rows * W * 4 +     # r', d', x' out
+                cbblk * (rows + 16) * Wp2 * 4 +    # d halo scratch
+                4 * cbblk * rows * W * 4)          # compute temps
+        if vmem <= 8 * 2**20:
+            return rows
+    return 0
+
+
+def _cheb_kernel(dp_hbm, r_ref, x_ref, we, we_w, ws, ws_up, wse, wse_uw,
+                 wne, wne_dw, diag, dinv, ro_ref, do_ref, xo_ref, ds, sem,
+                 *, rows, tiled, cbblk, ca, cb):
+    i = pl.program_id(0)
+    if tiled:
+        k = pl.program_id(1)
+        j = pl.program_id(2)
+    else:
+        j = pl.program_id(1)
+
+    src = dp_hbm.at[pl.ds(j * cbblk, cbblk), pl.ds(i * rows, rows + 16)]
+    if tiled:
+        src = dp_hbm.at[pl.ds(j * cbblk, cbblk), pl.ds(i * rows, rows + 16),
+                        pl.ds(k * CTILE, CTILE + 256)]
+    cp = pltpu.make_async_copy(src, ds, sem)
+    cp.start()
+    cp.wait()
+
+    b = ds[:]
+    W = ro_ref.shape[2]
+    choff = 128 if tiled else 1
+
+    def at(dr, dc):
+        return b[:, 8 + dr:8 + dr + rows, choff + dc:choff + dc + W]
+
+    t = diag[:][None] * at(0, 0)
+    t -= we[:][None] * at(0, 1) + we_w[:][None] * at(0, -1)
+    t -= ws[:][None] * at(1, 0) + ws_up[:][None] * at(-1, 0)
+    t -= wse[:][None] * at(1, 1) + wse_uw[:][None] * at(-1, -1)
+    t -= wne[:][None] * at(-1, 1) + wne_dw[:][None] * at(1, -1)
+    r_new = r_ref[:] - t
+    d_new = ca * at(0, 0) + cb * (dinv[:][None] * r_new)
+    ro_ref[:] = r_new
+    do_ref[:] = d_new
+    xo_ref[:] = x_ref[:] + d_new
+
+
+def cheb_supported(S_shape, B) -> bool:
+    H, W = S_shape
+    if H < 64 or B < 1:
+        return False
+    if W <= 4094:
+        return _cheb_rows(W, 2 if B % 2 == 0 else 1) > 0
+    return True          # column-tiled variant, fixed footprint
+
+
+@functools.partial(jax.jit, static_argnames=("ca", "cb", "interpret"))
+def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
+                     d: jnp.ndarray, x: jnp.ndarray, ca: float, cb: float,
+                     interpret: bool = False):
+    """(r - L d, ca*d + cb*Dinv*(r - L d), x + d') in one fused pass.
+
+    dinv is the level's (H, W) inverse diagonal (zero on empty cells).
+    ca/cb are the Chebyshev recurrence constants — python floats, baked
+    in at trace time (they derive from the static lam_max)."""
+    B, H, W = r.shape
+    Hp, Wplanes = P.diag.shape
+    cbblk = 2 if B % 2 == 0 else 1
+    zero = np.int32(0)
+
+    dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, Wplanes - W)))
+    padHW = lambda a: jnp.pad(a, ((0, 0), (0, Hp - H), (0, Wplanes - W)))
+
+    if W > 4094:
+        rows = CROWS
+        Wp = Wplanes
+        dp = jnp.pad(d, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
+        rp, xp = padHW(r), padHW(x)
+        grid = (Hp // rows, Wp // CTILE, B // cbblk)
+        plane_spec = pl.BlockSpec((rows, CTILE), lambda i, k, j: (i, k),
+                                  memory_space=pltpu.VMEM)
+        io_spec = pl.BlockSpec((cbblk, rows, CTILE),
+                               lambda i, k, j: (j, i, k),
+                               memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((cbblk, rows + 16, CTILE + 256), r.dtype)
+        out_sh = jax.ShapeDtypeStruct((B, Hp, Wp), r.dtype)
+        tiled = True
+    else:
+        Wp2 = pl.cdiv(W + 2, 128) * 128
+        rows = _cheb_rows(W, cbblk)
+        dp = jnp.pad(d, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+        rp, xp = padHW(r), padHW(x)
+        grid = (Hp // rows, B // cbblk)
+        plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
+                                  memory_space=pltpu.VMEM)
+        io_spec = pl.BlockSpec((cbblk, rows, W), lambda i, j: (j, i, zero),
+                               memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((cbblk, rows + 16, Wp2), r.dtype)
+        out_sh = jax.ShapeDtypeStruct((B, Hp, W), r.dtype)
+        tiled = False
+
+    ro, do, xo = pl.pallas_call(
+        functools.partial(_cheb_kernel, rows=rows, tiled=tiled,
+                          cbblk=cbblk, ca=ca, cb=cb),
+        out_shape=(out_sh, out_sh, out_sh),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # d, manual halo DMA
+            io_spec, io_spec,                    # r, x
+            plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
+            plane_spec, plane_spec, plane_spec, plane_spec,  # 9 planes
+            plane_spec,                                      # dinv
+        ],
+        out_specs=(io_spec, io_spec, io_spec),
+        scratch_shapes=[scratch, pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(dp, rp, xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw,
+      P.wne, P.wne_dw, P.diag, dinv_p)
+    return ro[:, :H, :W], do[:, :H, :W], xo[:, :H, :W]
+
+
 def supported(S_shape, B) -> bool:
     H, W = S_shape
     if H < 64 or B % BBLK != 0:

@@ -450,3 +450,41 @@ def test_node_currents_native_matches_np():
         b = fastio.node_currents_f32(planes, V)
         assert b is not None
         np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(128, 384), (64, 4200)])
+def test_pallas_cheb_step_interpret(shape):
+    """Fused Chebyshev step (matvec + r/d/x updates in one pass) vs the
+    unfused XLA ops, both layouts (single-slab and column-tiled)."""
+    from circuitscape_tpu.solve.pallas_stencil import (PallasStencil,
+                                                       cheb_supported,
+                                                       pallas_cheb_step)
+    rng = np.random.default_rng(9)
+    H, W = shape
+    B = 3    # odd: exercises CBBLK=1
+    g = rng.uniform(0.5, 3, (H, W))
+    g[rng.random((H, W)) < 0.15] = 0
+    S = stencil_from_gmap(g, False, False, np.float32)
+    P = PallasStencil.from_operator(S)
+    assert cheb_supported((H, W), B)
+    diag = np.asarray(S.diag)
+    dinv = np.where(diag > 0, 1.0 / np.where(diag == 0, 1, diag),
+                    0.0).astype(np.float32)
+    r = rng.standard_normal((B, H, W)).astype(np.float32)
+    d = rng.standard_normal((B, H, W)).astype(np.float32)
+    x = rng.standard_normal((B, H, W)).astype(np.float32)
+    ca, cb = 0.37, 1.21
+
+    rj, dj, xj = (jnp.asarray(a) for a in (r, d, x))
+    r2, d2, x2 = pallas_cheb_step(P, jnp.asarray(dinv), rj, dj, xj,
+                                  ca=ca, cb=cb, interpret=True)
+
+    t = np.asarray(stencil_matvec(S, dj))
+    r_ref = r - t
+    d_ref = ca * d + cb * (dinv[None] * r_ref)
+    x_ref = x + d_ref
+    scale = max(np.abs(r_ref).max(), np.abs(d_ref).max(),
+                np.abs(x_ref).max())
+    assert np.abs(np.asarray(r2) - r_ref).max() < 1e-5 * scale
+    assert np.abs(np.asarray(d2) - d_ref).max() < 1e-5 * scale
+    assert np.abs(np.asarray(x2) - x_ref).max() < 1e-5 * scale
