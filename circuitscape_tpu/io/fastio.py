@@ -57,6 +57,15 @@ def load():
             ctypes.c_int64,
             ctypes.c_int,
         ]
+        lib.csio_write_dlm.restype = ctypes.c_longlong
+        lib.csio_write_dlm.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_char,
+        ]
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         lib.csio_node_currents_f32.restype = ctypes.c_longlong
         lib.csio_node_currents_f32.argtypes = [
@@ -67,6 +76,18 @@ def load():
     except Exception:
         _lib = None
     return _lib
+
+
+def write_dlm_body(path: str, arr: np.ndarray, delim: str) -> bool:
+    """Whole-file delimited f64 matrix write (17 significant digits —
+    exact double round-trip); True on success."""
+    lib = load()
+    if lib is None or len(delim) != 1:
+        return False
+    a = np.ascontiguousarray(arr, np.float64)
+    n = lib.csio_write_dlm(path.encode(), a, np.int64(a.shape[0]),
+                           np.int64(a.shape[1]), 17, delim.encode())
+    return n >= 0
 
 
 def node_currents_f32(planes, V: np.ndarray, cutoff=1e-8):

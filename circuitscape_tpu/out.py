@@ -82,8 +82,20 @@ def _fmt(v) -> str:
 
 
 def _writedlm(path: str, arr: np.ndarray, delim: str):
+    """Julia-writedlm-style text matrix writer.
+
+    Large arrays route through the native formatter (17 significant
+    digits = exact f64 round-trip; integral values print "3" where the
+    Python path prints "3.0" — numerically identical, and network
+    pairwise writes ~190 branch-current files of 4e5 rows each, which
+    the per-value Python formatter turned into minutes)."""
+    arr2 = np.atleast_2d(np.asarray(arr, np.float64))
+    if arr2.size > 20000:
+        from .io import fastio
+        if fastio.write_dlm_body(path, arr2, delim):
+            return
     with open(path, "w") as f:
-        for row in np.atleast_2d(arr):
+        for row in arr2:
             f.write(delim.join(_fmt(v) for v in row))
             f.write("\n")
 
@@ -148,6 +160,21 @@ def _upper_edges(G: sp.spmatrix):
     return r[order], c[order], v[order]
 
 
+def _edges_cached(G: sp.spmatrix):
+    """_upper_edges memoized on the matrix object: pairwise jobs call
+    the current computation once per pair against the SAME component
+    matrix (190 pairs at the benchmark scale), and the lexsort was the
+    dominant cost."""
+    cached = getattr(G, "_cs_upper_edges", None)
+    if cached is None:
+        cached = _upper_edges(G)
+        try:
+            G._cs_upper_edges = cached
+        except AttributeError:
+            pass
+    return cached
+
+
 def _branch_current_values(vals, rows, cols, voltages, pos: bool):
     """src/out.jl:250-290: signed branch currents with small-value cutoff."""
     if pos:
@@ -163,17 +190,23 @@ def _branch_current_values(vals, rows, cols, voltages, pos: bool):
 
 
 def get_node_currents(G: sp.spmatrix, voltages: np.ndarray, finitegrounds):
-    """Node current = max(inflow, outflow) (src/out.jl:178-207)."""
-    rows, cols, vals = _upper_edges(G)
+    """Node current = max(inflow, outflow) (src/out.jl:178-207).
+
+    Scatter-adds replace the per-pair sparse matrix construction
+    (B - B.T, clip, column sums): for an upper edge (i, j) with signed
+    branch value b, the clipped antisymmetric column sum receives b at
+    j when b > 0 and -b at i when b < 0 — identical result, no
+    allocations."""
+    rows, cols, vals = _edges_cached(G)
     n = G.shape[0]
 
     def posneg(pos):
         b = _branch_current_values(vals, rows, cols, voltages, pos)
-        B = sp.coo_matrix((b, (rows, cols)), shape=(n, n)).tocsr()
-        C = B - B.T
-        C.data[C.data < 0] = 0
-        C.eliminate_zeros()
-        s = np.asarray(C.sum(axis=0)).ravel()
+        s = np.zeros(n, np.result_type(voltages, b))
+        m = b > 0
+        np.add.at(s, cols[m], b[m])
+        m = b < 0
+        np.subtract.at(s, rows[m], b[m])
         fg = np.asarray(finitegrounds)
         if fg.size and fg[0] != -9999:
             fg_cur = fg * voltages
@@ -190,7 +223,7 @@ def get_node_currents(G: sp.spmatrix, voltages: np.ndarray, finitegrounds):
 def get_branch_currents_3col(G: sp.spmatrix, voltages: np.ndarray, cc):
     """Network branch currents as (node_i, node_j, |I|) rows in CSC order
     (src/out.jl:128-158)."""
-    rows, cols, vals = _upper_edges(G)
+    rows, cols, vals = _edges_cached(G)
     b = np.abs(_branch_current_values(vals, rows, cols, voltages, True))
     cc = np.asarray(cc, np.float64)
     return np.column_stack([cc[rows], cc[cols], b])
@@ -320,20 +353,30 @@ def write_cur_maps(name, voltages, component_data, finitegrounds, flags, cfg,
             write_currents(node_arr, branch_3col, name, cfg)
             return
 
-        # accumulate network cumulative vectors
-        coords = cum.coords
-        coord_index = getattr(cum, "_coord_index", None)
-        if coord_index is None:
-            coord_index = {}
-            for k, (a, b) in enumerate(coords):
-                coord_index.setdefault((a, b), k)
-                coord_index.setdefault((b, a), k)
-            cum._coord_index = coord_index
-        for i in range(branch_3col.shape[0]):
-            key = (int(branch_3col[i, 0]), int(branch_3col[i, 1]))
-            idx = coord_index.get(key)
-            if idx is not None:
-                cum.cum_branch_curr[idx] += branch_3col[i, 2]
+        # accumulate network cumulative vectors.  The branch rows of a
+        # component are in a FIXED order across its pairs, so the
+        # branch->coord index map is computed once per component and
+        # cached on the matrix (the per-row dict loop cost ~20 s of the
+        # 100k-node benchmark job).
+        cache = getattr(G, "_cs_branch_idx", None)
+        if cache is None:
+            coord_index = getattr(cum, "_coord_index", None)
+            if coord_index is None:
+                coord_index = {}
+                for k, (a, b) in enumerate(cum.coords):
+                    coord_index.setdefault((a, b), k)
+                    coord_index.setdefault((b, a), k)
+                cum._coord_index = coord_index
+            idx = np.asarray([coord_index.get(
+                (int(branch_3col[i, 0]), int(branch_3col[i, 1])), -1)
+                for i in range(branch_3col.shape[0])], np.int64)
+            cache = (idx[idx >= 0], np.nonzero(idx >= 0)[0])
+            try:
+                G._cs_branch_idx = cache
+            except AttributeError:
+                pass
+        tgt, src = cache
+        np.add.at(cum.cum_branch_curr, tgt, branch_3col[src, 2])
         np.add.at(cum.cum_node_curr, np.asarray(cc, np.int64) - 1,
                   node_currents)
 

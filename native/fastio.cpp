@@ -176,8 +176,9 @@ inline int fmt_value_fast(double v, char* buf, int sig) {
 // shared body-writer loop, parameterized on the element reader
 template <typename T, typename Fmt>
 long long write_body(const char* path, const T* data, long long nrows,
-                     long long ncols, Fmt fmt) {
-    FILE* f = fopen(path, "ab");
+                     long long ncols, Fmt fmt, char sep = ' ',
+                     bool append = true) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
     if (!f) return -1;
     const long long ROWS_PER_FLUSH =
         (ncols > 0) ? ((1 << 22) / (28 * ncols) + 1) : 1;
@@ -206,7 +207,7 @@ long long write_body(const char* path, const T* data, long long nrows,
             for (long long r = a; r < b; ++r) {
                 const T* row = data + r * ncols;
                 for (long long c = 0; c < ncols; ++c) {
-                    if (c) *p++ = ' ';
+                    if (c) *p++ = sep;
                     p += fmt(row[c], p);
                 }
                 *p++ = '\n';
@@ -270,6 +271,20 @@ long long csio_write_asc_body(const char* path, const double* data,
 // The maps-on pairwise pipeline computes one of these per written
 // pair on writer-pool threads; the numpy version cost ~150 ms/map of
 // GIL-holding time, this runs ~10 ms and releases the GIL via ctypes.
+// Tab/space-separated f64 matrix writer (Julia writedlm analogue):
+// truncates the file, `sig` significant digits per value.  Network
+// node/branch current text outputs (src/out.jl:117-124) route here.
+long long csio_write_dlm(const char* path, const double* data,
+                         long long nrows, long long ncols, int sig,
+                         char sep) {
+    if (sig < 1) sig = 1;
+    if (sig > 17) sig = 17;
+    return write_body(path, data, nrows, ncols,
+                      [sig](double v, char* p) {
+                          return fmt_value_fast(v, p, sig);
+                      }, sep, false);
+}
+
 long long csio_node_currents_f32(const float* we, const float* ws,
                                  const float* wse, const float* wne,
                                  const float* V, float* out,
