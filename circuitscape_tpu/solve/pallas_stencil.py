@@ -52,48 +52,104 @@ CROWS = 16
 
 def _pick_rows(W: int) -> int:
     """Largest row-slab height whose VMEM footprint (9 double-buffered
-    plane blocks + double-buffered out block + halo scratch + Mosaic
-    compute temporaries for the 9-term accumulation) stays well under
-    the 16 MB scoped-vmem limit.  Returns 0 if no slab height fits —
-    the caller must fall back to the XLA matvec.  (The temporary term
-    and the 8 MB budget were calibrated against a real-chip compile
-    failure: at W=2450, rows=32 the compiler reported an 18.1 MB scoped
-    allocation against the naive 10 MB estimate.)"""
+    plane blocks + double-buffered out block + 2-slot halo scratch +
+    Mosaic compute temporaries for the 9-term accumulation) stays well
+    under the 16 MB scoped-vmem limit.  Returns 0 if no slab height
+    fits — the caller must fall back to the XLA matvec.  (The temporary
+    term and the 8 MB budget were calibrated against a real-chip
+    compile failure: at W=2450, rows=32 the compiler reported an
+    18.1 MB scoped allocation against the naive 10 MB estimate.)"""
     Wp2 = -(-(W + 2) // 128) * 128
     for rows in (128, 64, 32, 16, 8):
-        vmem = (9 * 2 * rows * W * 4 +          # plane blocks
-                2 * BBLK * rows * W * 4 +       # out blocks
-                BBLK * (rows + 16) * Wp2 * 4 +  # halo scratch
-                4 * BBLK * rows * W * 4)        # accumulation temps
+        vmem = (9 * 2 * rows * W * 4 +              # plane blocks
+                2 * BBLK * rows * W * 4 +           # out blocks
+                2 * BBLK * (rows + 16) * Wp2 * 4 +  # halo scratch x2
+                4 * BBLK * rows * W * 4)            # accumulation temps
         if vmem <= 8 * 2**20:
             return rows
     return 0
 
 
+def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
+    """Start/await the halo'd x-slab DMA with two VMEM slots.
+
+    The manual halo copy is the one transfer Mosaic's block pipeline
+    can't schedule for us; a serial start->wait per grid step leaves the
+    DMA latency on the critical path (measured ~6 us/step at 1M cells —
+    the kernel ran at ~16% of HBM speed-of-light).  Instead each step
+    issues the NEXT step's copy into the other slot before computing,
+    so the transfer overlaps this step's compute exactly like the
+    pipelined plane/out blocks.  Returns the current step's slab ref.
+
+    Grid order is batch-fastest: step = (((i) * NK + k) * NJ + j) in
+    tiled mode, i * NJ + j otherwise."""
+    i = pl.program_id(0)
+    if tiled:
+        k = pl.program_id(1)
+        j = pl.program_id(2)
+        nk, nj = pl.num_programs(1), pl.num_programs(2)
+        step = (i * nk + k) * nj + j
+        nsteps = pl.num_programs(0) * nk * nj
+    else:
+        k = 0
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        step = i * nj + j
+        nsteps = pl.num_programs(0) * nj
+    # dynamic scratch/semaphore indices must be STRONG int32: weak
+    # Python-int arithmetic promotes to i64 under x64 and Mosaic's
+    # convert-element-type lowering recurses on scalar i64 (observed as
+    # RecursionError at compile on the real chip)
+    slot = jax.lax.rem(step, np.int32(2))
+
+    def src_for(ii, kk, jj):
+        # halo'd slab: rows [ii*rows, ii*rows + rows + 16) of the padded
+        # input (x row g lives at padded row g+8, so the slab is 8-row
+        # aligned in both offset and height — a Mosaic DMA-slice
+        # requirement).  In tiled mode the slab additionally selects
+        # columns [kk*CTILE, kk*CTILE + CTILE + 256): a 128-aligned
+        # offset/width containing the +-1 column halo (x col c lives at
+        # padded col c+128).
+        if tiled:
+            return src_hbm.at[pl.ds(jj * bblk, bblk),
+                              pl.ds(ii * rows, rows + 16),
+                              pl.ds(kk * CTILE, CTILE + 256)]
+        return src_hbm.at[pl.ds(jj * bblk, bblk),
+                          pl.ds(ii * rows, rows + 16)]
+
+    @pl.when(step == 0)
+    def _():
+        pltpu.make_async_copy(src_for(i, k, j),
+                              xs.at[slot], sem.at[slot]).start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        one, zero = np.int32(1), np.int32(0)
+        jn = j + one
+        wrapj = jn == nj
+        jj = jnp.where(wrapj, zero, jn)
+        if tiled:
+            kn = jnp.where(wrapj, k + one, k + zero)
+            wrapk = kn == nk
+            kk = jnp.where(wrapk, zero, kn)
+            ii = jnp.where(wrapk, i + one, i + zero)
+        else:
+            kk = zero
+            ii = jnp.where(wrapj, i + one, i + zero)
+        other = one - slot
+        pltpu.make_async_copy(src_for(ii, kk, jj),
+                              xs.at[other], sem.at[other]).start()
+
+    pltpu.make_async_copy(src_for(i, k, j),
+                          xs.at[slot], sem.at[slot]).wait()
+    return xs[slot]
+
+
 def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
             y_ref, xs, sem, *, rows, tiled):
-    i = pl.program_id(0)       # row slab
-    if tiled:
-        k = pl.program_id(1)   # column tile
-        j = pl.program_id(2)   # batch block
-    else:
-        j = pl.program_id(1)
-
-    # halo'd slab: rows [i*rows, i*rows + rows + 16) of the padded input
-    # (x row g lives at padded row g+8, so the slab is 8-row aligned in
-    # both offset and height — a Mosaic DMA-slice requirement).  In
-    # tiled mode the slab additionally selects columns
-    # [k*CTILE, k*CTILE + CTILE + 256): a 128-aligned offset/width that
-    # contains the +-1 column halo (x col c lives at padded col c+128).
-    src = xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16)]
-    if tiled:
-        src = xp_hbm.at[pl.ds(j * BBLK, BBLK), pl.ds(i * rows, rows + 16),
-                        pl.ds(k * CTILE, CTILE + 256)]
-    cp = pltpu.make_async_copy(src, xs, sem)
-    cp.start()
-    cp.wait()
-
-    b = xs[:]                       # (BBLK, rows+16, Wp2 | CTILE+256)
+    b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
+                                  tiled=tiled, bblk=BBLK)
+    # b: (BBLK, rows+16, Wp2 | CTILE+256)
     W = y_ref.shape[2]
     choff = 128 if tiled else 1     # slab column of output column 0
 
@@ -197,7 +253,7 @@ def _cheb_rows(W: int, cbblk: int) -> int:
         vmem = (10 * 2 * rows * W * 4 +            # planes + dinv
                 2 * 2 * cbblk * rows * W * 4 +     # r, x in
                 3 * 2 * cbblk * rows * W * 4 +     # r', d', x' out
-                cbblk * (rows + 16) * Wp2 * 4 +    # d halo scratch
+                2 * cbblk * (rows + 16) * Wp2 * 4 +  # d halo scratch x2
                 4 * cbblk * rows * W * 4)          # compute temps
         if vmem <= 8 * 2**20:
             return rows
@@ -207,22 +263,8 @@ def _cheb_rows(W: int, cbblk: int) -> int:
 def _cheb_kernel(dp_hbm, r_ref, x_ref, we, we_w, ws, ws_up, wse, wse_uw,
                  wne, wne_dw, diag, dinv, ro_ref, do_ref, xo_ref, ds, sem,
                  *, rows, tiled, cbblk, ca, cb):
-    i = pl.program_id(0)
-    if tiled:
-        k = pl.program_id(1)
-        j = pl.program_id(2)
-    else:
-        j = pl.program_id(1)
-
-    src = dp_hbm.at[pl.ds(j * cbblk, cbblk), pl.ds(i * rows, rows + 16)]
-    if tiled:
-        src = dp_hbm.at[pl.ds(j * cbblk, cbblk), pl.ds(i * rows, rows + 16),
-                        pl.ds(k * CTILE, CTILE + 256)]
-    cp = pltpu.make_async_copy(src, ds, sem)
-    cp.start()
-    cp.wait()
-
-    b = ds[:]
+    b = _halo_dma_double_buffered(dp_hbm, ds, sem, rows=rows,
+                                  tiled=tiled, bblk=cbblk)
     W = ro_ref.shape[2]
     choff = 128 if tiled else 1
 
@@ -278,7 +320,7 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
         io_spec = pl.BlockSpec((cbblk, rows, CTILE),
                                lambda i, k, j: (j, i, k),
                                memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((cbblk, rows + 16, CTILE + 256), r.dtype)
+        scratch = pltpu.VMEM((2, cbblk, rows + 16, CTILE + 256), r.dtype)
         out_sh = jax.ShapeDtypeStruct((B, Hp, Wp), r.dtype)
         tiled = True
     else:
@@ -291,7 +333,7 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
                                   memory_space=pltpu.VMEM)
         io_spec = pl.BlockSpec((cbblk, rows, W), lambda i, j: (j, i, zero),
                                memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((cbblk, rows + 16, Wp2), r.dtype)
+        scratch = pltpu.VMEM((2, cbblk, rows + 16, Wp2), r.dtype)
         out_sh = jax.ShapeDtypeStruct((B, Hp, W), r.dtype)
         tiled = False
 
@@ -308,7 +350,7 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
             plane_spec,                                      # dinv
         ],
         out_specs=(io_spec, io_spec, io_spec),
-        scratch_shapes=[scratch, pltpu.SemaphoreType.DMA],
+        scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(dp, rp, xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw,
       P.wne, P.wne_dw, P.diag, dinv_p)
@@ -349,7 +391,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         out_spec = pl.BlockSpec((BBLK, rows, CTILE),
                                 lambda i, k, j: (j, i, k),
                                 memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((BBLK, rows + 16, CTILE + 256), x.dtype)
+        scratch = pltpu.VMEM((2, BBLK, rows + 16, CTILE + 256), x.dtype)
         out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), x.dtype)
         tiled = True
     else:
@@ -365,7 +407,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
                                   memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
                                 memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((BBLK, rows + 16, Wp2), x.dtype)
+        scratch = pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype)
         out_shape = jax.ShapeDtypeStruct((B, Hp, W), x.dtype)
         tiled = False
 
@@ -381,7 +423,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         out_specs=out_spec,
         scratch_shapes=[
             scratch,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw, P.wne, P.wne_dw,
