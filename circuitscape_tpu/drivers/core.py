@@ -407,15 +407,16 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
 
     if pair_cols:
         nb = len(pair_cols)
-        # memory cap: ~8 live f64 (B, H, W) blocks under the chunk
-        # budget.  Very large grids get a smaller budget — the operator
-        # + MG hierarchy + XLA loop temporaries already claim several GB
-        # of the 16 GB HBM there (a 12M-cell run OOM'd at the 4 GiB
-        # budget by ~0.25 GB).
+        # memory cap: ~8 live f64 (B, H, W) blocks under the
+        # capacity-modeled budget (solve/dispatch.py
+        # solve_chunk_budget), floored to a power of two because the
+        # fused solve pads its batch UP to one (the old flat 4 GiB
+        # budget chose step=5 -> b_pad=8 at 12M cells and OOM'd)
+        from ..solve.dispatch import pow2_floor, solve_chunk_budget
         per_col = H * W * 8 * 8
-        budget = (4 << 30) if H * W <= 8_000_000 else (2 << 30)
-        budget = int(_os.environ.get("CS_SHORTCUT_CHUNK_BYTES", budget))
+        budget = solve_chunk_budget(H * W)
         step = max(1, min(_shortcut_chunk_cap, budget // max(per_col, 1)))
+        step = pow2_floor(step)
         if max_par > 0:
             # Circuitscape-4 `max_parallel` semantics on TPU: cap the
             # number of concurrent solves (batch width) per device chunk
@@ -668,8 +669,13 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             pending.clear()
             ckpt.save(resistances, cum)
 
-    per_col = H * W * 8 * 8
-    step = max(1, min(2048, (4 << 30) // max(per_col, 1)))
+    # maps path: per column also holds the normalized Xb, the f32
+    # voltage fetch copy, and (device-currents jobs) the f32 ncur block
+    from ..solve.dispatch import pow2_floor, solve_chunk_budget
+    per_col = H * W * 8 * 9
+    step = max(1, min(2048,
+                      solve_chunk_budget(H * W) // max(per_col, 1)))
+    step = pow2_floor(step)
     if getattr(cfg, "max_parallel", 0) > 0:
         step = min(step, cfg.max_parallel)
     try:

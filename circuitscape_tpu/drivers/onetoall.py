@@ -141,10 +141,11 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     # per chunk — (B, npts) not (npts, npts).  Reference iterates one
     # point at a time (src/raster/onetoall.jl:146-158).
     Hp, Wp = S64.shape
+    from ..solve.dispatch import pow2_floor, solve_chunk_budget
     per_col = Hp * Wp * 8 * 8
-    budget = (4 << 30) if Hp * Wp <= 8_000_000 else (2 << 30)
-    budget = int(os.environ.get("CS_ONETOALL_CHUNK_BYTES", budget))
-    step = max(1, min(4096, budget // max(per_col, 1)))
+    budget = solve_chunk_budget(Hp * Wp,
+                                env_var="CS_ONETOALL_CHUNK_BYTES")
+    step = pow2_floor(max(1, min(4096, budget // max(per_col, 1))))
     if getattr(cfg, "max_parallel", 0) > 0:
         step = min(step, cfg.max_parallel)   # Circuitscape-4 key: cap
     arange = np.arange(npts)

@@ -155,7 +155,8 @@ class ShardStencil:
     ext:  5 planes of GLOBAL shape (nsh*(Hl+2), W), 'nodes'-sharded —
           each shard's rows with one halo row from each neighbor shard
           (ppermute'd once at setup; planes are solve-invariant).
-    pal:  optional 9 output-aligned Pallas planes per shard (pre-
+    pal:  optional stacked (9, ...) output-aligned Pallas planes per
+          shard (pre-
           expanded from ext at setup), same global stacking.
     mesh/nsh/h_local: static layout facts (mesh objects are hashable).
 
@@ -166,7 +167,7 @@ class ShardStencil:
 
     def __init__(self, ext, pal, mesh, nsh, h_local):
         self.ext = ext          # tuple of 5 arrays
-        self.pal = pal          # tuple of 9 arrays or None
+        self.pal = pal          # stacked (9, Hl, W) array or None
         self.mesh = mesh
         self.nsh = nsh
         self.h_local = h_local  # rows per shard WITHOUT halo
@@ -212,9 +213,11 @@ def build_shard_stencil(mesh: Mesh, A: StencilOperator,
         from ..solve.pallas_stencil import _expand_planes, supported
         h_ext = H // nsh + 2
         if supported((h_ext, W), 4) and A.diag.dtype == jnp.float32:
+            # stacked (9, Hl, W) per shard; 'nodes' shards the row dim
             pal = jax.jit(jax.shard_map(
                 lambda *ps: _expand_planes(*ps), mesh=mesh,
-                in_specs=(rows,) * 5, out_specs=(rows,) * 9))(*ext)
+                in_specs=(rows,) * 5,
+                out_specs=P(None, "nodes", None)))(*ext)
     return ShardStencil(tuple(ext), pal, mesh, nsh, H // nsh)
 
 
@@ -246,17 +249,17 @@ def shard_matvec(ss: ShardStencil, x: jnp.ndarray) -> jnp.ndarray:
         xe = jnp.concatenate([up, xs, dn], axis=1)
         if use_pal:
             from ..solve.pallas_stencil import PallasStencil, pallas_matvec
-            ye = pallas_matvec(PallasStencil(*rest[:-1], H=h_ext), xe)
+            ye = pallas_matvec(PallasStencil(rest[0], H=h_ext), xe)
         else:
             ye = stencil_matvec(_S(we, ws, wse, wne, diag), xe)
         return ye[:, 1:-1]
 
-    operands = ss.ext + (ss.pal if use_pal else ()) + (x,)
-    nplanes = len(operands) - 1
+    operands = ss.ext + ((ss.pal,) if use_pal else ()) + (x,)
+    pal_specs = (P(None, "nodes", None),) if use_pal else ()
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so the replication checker rejects it on TPU
     return jax.shard_map(body, mesh=mesh,
-                         in_specs=(rows,) * nplanes + (xspec,),
+                         in_specs=(rows,) * 5 + pal_specs + (xspec,),
                          out_specs=xspec, check_vma=False)(*operands)
 
 

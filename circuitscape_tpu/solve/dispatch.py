@@ -17,6 +17,8 @@ Tiers:
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
@@ -30,6 +32,37 @@ from .cg import cg_batched, jacobi_prec, jacobi_apply
 
 class SolverFailedError(RuntimeError):
     pass
+
+
+# Conservative usable HBM on the target chip (16 GB v5e minus XLA
+# workspace/fragmentation headroom; docs/capacity.md "Ceilings").
+HBM_USABLE_BYTES = int(float(_os.environ.get("CS_HBM_USABLE_GB",
+                                             "11.5")) * 2**30)
+
+
+def solve_chunk_budget(cells: int,
+                       env_var: str = "CS_SHORTCUT_CHUNK_BYTES") -> int:
+    """Bytes available for per-RHS-column solve state on one chip.
+
+    Capacity-modeled (docs/capacity.md) instead of a flat constant:
+    usable HBM minus the job's fixed residency (f64 operator + f32 MG
+    hierarchy + Pallas planes ~108 B/padded cell, +12 margin).  A flat
+    2-4 GiB budget left >70% of the chip idle at 6M/12M cells and
+    chunked the 12M pairwise batch to TWO columns per dispatch — 16
+    serial chunks, each too narrow for the Pallas kernel's batch
+    blocking.  The env override wins (tests force multi-chunk paths
+    with tiny budgets)."""
+    env = _os.environ.get(env_var)
+    if env:
+        return int(env)
+    return max(cells, HBM_USABLE_BYTES - 120 * cells)
+
+
+def pow2_floor(n: int) -> int:
+    """Largest power of two <= n (chunk widths round UP to a power of
+    two inside the fused pair solve, so sizing chunks at a power of two
+    keeps allocated bytes equal to budgeted bytes)."""
+    return 1 << (max(1, n).bit_length() - 1)
 
 
 def reraise_if_device_oom(e: Exception, cells: int, batch: int):

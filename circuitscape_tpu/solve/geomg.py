@@ -433,7 +433,7 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
     levels = []
     for (we, ws, wse, wne, diag, inv, pal), lam, (h, w) in zip(
             levels_raw, lams, shapes):
-        pobj = (PallasStencil(*pal, H=h, W=w) if pal is not None
+        pobj = (PallasStencil(pal, H=h, W=w) if pal is not None
                 else None)
         levels.append(GeoMgLevel(
             StencilOperator(we, ws, wse, wne, diag, pobj), inv,
@@ -507,7 +507,7 @@ def _cheb_smooth(L: GeoMgLevel, b, x):
     if pal is not None:
         from .pallas_stencil import cheb_supported
         use_fused = (cheb_supported(pal.shape, b.shape[0]) and
-                     b.dtype == pal.diag.dtype and
+                     b.dtype == pal.planes.dtype and
                      b.shape[1:] == tuple(pal.shape))
     for _ in range(CHEB_DEGREE - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)

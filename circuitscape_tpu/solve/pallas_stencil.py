@@ -145,11 +145,12 @@ def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
     return xs[slot]
 
 
-def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
-            y_ref, xs, sem, *, rows, tiled):
+def _kernel(xp_hbm, ps, y_ref, xs, sem, *, rows, tiled):
     b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
                                   tiled=tiled, bblk=BBLK)
-    # b: (BBLK, rows+16, Wp2 | CTILE+256)
+    # b: (BBLK, rows+16, Wp2 | CTILE+256); ps: (9, rows, W) stacked
+    # planes in PLANE_ORDER — one operand instead of nine keeps the
+    # per-grid-step descriptor work off the critical path
     W = y_ref.shape[2]
     choff = 128 if tiled else 1     # slab column of output column 0
 
@@ -157,37 +158,37 @@ def _kernel(xp_hbm, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag,
         """x[g+dr, j+dc] as a static slice (output-aligned)."""
         return b[:, 8 + dr:8 + dr + rows, choff + dc:choff + dc + W]
 
-    y = diag[:][None] * at(0, 0)
-    y -= we[:][None] * at(0, 1) + we_w[:][None] * at(0, -1)
-    y -= ws[:][None] * at(1, 0) + ws_up[:][None] * at(-1, 0)
-    y -= wse[:][None] * at(1, 1) + wse_uw[:][None] * at(-1, -1)
-    y -= wne[:][None] * at(-1, 1) + wne_dw[:][None] * at(1, -1)
+    (we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag) = (
+        ps[t] for t in range(9))
+    y = diag[None] * at(0, 0)
+    y -= we[None] * at(0, 1) + we_w[None] * at(0, -1)
+    y -= ws[None] * at(1, 0) + ws_up[None] * at(-1, 0)
+    y -= wse[None] * at(1, 1) + wse_uw[None] * at(-1, -1)
+    y -= wne[None] * at(-1, 1) + wne_dw[None] * at(1, -1)
     y_ref[:] = y
 
 
 @jax.tree_util.register_pytree_node_class
 class PallasStencil:
     """Pre-expanded plane set for the Pallas matvec: all eight neighbor
-    weights shifted to output-aligned copies, rows padded to a ROWS
-    multiple, at build time (once per solve — the per-iteration matvec
-    touches only x)."""
+    weights shifted to output-aligned copies, stacked into ONE
+    (9, Hp, Wp) array in PLANE_ORDER, rows padded to a ROWS multiple,
+    at build time (once per solve — the per-iteration matvec touches
+    only x).  A single stacked operand replaces nine separate plane
+    operands in the pallas_call: the kernel grid spends ~7 us/step of
+    fixed bookkeeping that scales with operand count."""
 
-    def __init__(self, we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw,
-                 diag, H=None, W=None):
-        (self.we, self.we_w, self.ws, self.ws_up, self.wse, self.wse_uw,
-         self.wne, self.wne_dw, self.diag) = (
-            we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag)
-        self.H = H if H is not None else diag.shape[0]
-        self.W = W if W is not None else diag.shape[1]
+    def __init__(self, planes, H=None, W=None):
+        self.planes = planes          # (9, Hp, Wp), PLANE_ORDER
+        self.H = H if H is not None else planes.shape[1]
+        self.W = W if W is not None else planes.shape[2]
 
     def tree_flatten(self):
-        return ((self.we, self.we_w, self.ws, self.ws_up, self.wse,
-                 self.wse_uw, self.wne, self.wne_dw, self.diag),
-                (self.H, self.W))
+        return ((self.planes,), (self.H, self.W))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, H=aux[0], W=aux[1])
+        return cls(children[0], H=aux[0], W=aux[1])
 
     @property
     def shape(self):
@@ -196,8 +197,12 @@ class PallasStencil:
     @classmethod
     def from_operator(cls, S: StencilOperator) -> "PallasStencil":
         H, W = S.diag.shape
-        return cls(*_expand_planes(S.we, S.ws, S.wse, S.wne, S.diag),
+        return cls(_expand_planes(S.we, S.ws, S.wse, S.wne, S.diag),
                    H=H, W=W)
+
+
+PLANE_ORDER = ("we", "we_w", "ws", "ws_up", "wse", "wse_uw",
+               "wne", "wne_dw", "diag")
 
 
 @jax.jit
@@ -228,8 +233,8 @@ def _expand_planes(we, ws, wse, wne, diag):
 
     we, ws, wse, wne, diag = (padH(we), padH(ws), padH(wse), padH(wne),
                               padH(diag))
-    return (we, west(we), ws, up(ws), wse, west(up(wse)),
-            wne, west(dn(wne)), diag)
+    return jnp.stack([we, west(we), ws, up(ws), wse, west(up(wse)),
+                      wne, west(dn(wne)), diag])
 
 
 # --- fused Chebyshev smoother step --------------------------------------
@@ -260,9 +265,8 @@ def _cheb_rows(W: int, cbblk: int) -> int:
     return 0
 
 
-def _cheb_kernel(dp_hbm, r_ref, x_ref, we, we_w, ws, ws_up, wse, wse_uw,
-                 wne, wne_dw, diag, dinv, ro_ref, do_ref, xo_ref, ds, sem,
-                 *, rows, tiled, cbblk, ca, cb):
+def _cheb_kernel(dp_hbm, r_ref, x_ref, ps, dinv, ro_ref, do_ref, xo_ref,
+                 ds, sem, *, rows, tiled, cbblk, ca, cb):
     b = _halo_dma_double_buffered(dp_hbm, ds, sem, rows=rows,
                                   tiled=tiled, bblk=cbblk)
     W = ro_ref.shape[2]
@@ -271,11 +275,13 @@ def _cheb_kernel(dp_hbm, r_ref, x_ref, we, we_w, ws, ws_up, wse, wse_uw,
     def at(dr, dc):
         return b[:, 8 + dr:8 + dr + rows, choff + dc:choff + dc + W]
 
-    t = diag[:][None] * at(0, 0)
-    t -= we[:][None] * at(0, 1) + we_w[:][None] * at(0, -1)
-    t -= ws[:][None] * at(1, 0) + ws_up[:][None] * at(-1, 0)
-    t -= wse[:][None] * at(1, 1) + wse_uw[:][None] * at(-1, -1)
-    t -= wne[:][None] * at(-1, 1) + wne_dw[:][None] * at(1, -1)
+    (we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag) = (
+        ps[t] for t in range(9))
+    t = diag[None] * at(0, 0)
+    t -= we[None] * at(0, 1) + we_w[None] * at(0, -1)
+    t -= ws[None] * at(1, 0) + ws_up[None] * at(-1, 0)
+    t -= wse[None] * at(1, 1) + wse_uw[None] * at(-1, -1)
+    t -= wne[None] * at(-1, 1) + wne_dw[None] * at(1, -1)
     r_new = r_ref[:] - t
     d_new = ca * at(0, 0) + cb * (dinv[:][None] * r_new)
     ro_ref[:] = r_new
@@ -302,7 +308,7 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
     ca/cb are the Chebyshev recurrence constants — python floats, baked
     in at trace time (they derive from the static lam_max)."""
     B, H, W = r.shape
-    Hp, Wplanes = P.diag.shape
+    Hp, Wplanes = P.planes.shape[1:]
     cbblk = 2 if B % 2 == 0 else 1
     zero = np.int32(0)
 
@@ -317,6 +323,9 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
         grid = (Hp // rows, Wp // CTILE, B // cbblk)
         plane_spec = pl.BlockSpec((rows, CTILE), lambda i, k, j: (i, k),
                                   memory_space=pltpu.VMEM)
+        planes_spec = pl.BlockSpec((9, rows, CTILE),
+                                   lambda i, k, j: (zero, i, k),
+                                   memory_space=pltpu.VMEM)
         io_spec = pl.BlockSpec((cbblk, rows, CTILE),
                                lambda i, k, j: (j, i, k),
                                memory_space=pltpu.VMEM)
@@ -331,6 +340,9 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
         grid = (Hp // rows, B // cbblk)
         plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
                                   memory_space=pltpu.VMEM)
+        planes_spec = pl.BlockSpec((9, rows, W),
+                                   lambda i, j: (zero, i, zero),
+                                   memory_space=pltpu.VMEM)
         io_spec = pl.BlockSpec((cbblk, rows, W), lambda i, j: (j, i, zero),
                                memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((2, cbblk, rows + 16, Wp2), r.dtype)
@@ -345,15 +357,13 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # d, manual halo DMA
             io_spec, io_spec,                    # r, x
-            plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec,  # 9 planes
-            plane_spec,                                      # dinv
+            planes_spec,                         # 9 stacked planes
+            plane_spec,                          # dinv
         ],
         out_specs=(io_spec, io_spec, io_spec),
         scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(dp, rp, xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw,
-      P.wne, P.wne_dw, P.diag, dinv_p)
+    )(dp, rp, xp, P.planes, dinv_p)
     return ro[:, :H, :W], do[:, :H, :W], xo[:, :H, :W]
 
 
@@ -372,7 +382,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
     """y = L x for x (B, H, W) using the fused Pallas kernel."""
     B, H, W = x.shape
-    Hp, Wplanes = P.diag.shape
+    Hp, Wplanes = P.planes.shape[1:]
 
     # index maps return int32 explicitly: under x64 a python `0` would
     # become an i64 constant, which Mosaic cannot legalize
@@ -386,8 +396,9 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         Wp = Wplanes                       # CTILE multiple (expand)
         xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
         grid = (Hp // rows, Wp // CTILE, B // BBLK)
-        plane_spec = pl.BlockSpec((rows, CTILE), lambda i, k, j: (i, k),
-                                  memory_space=pltpu.VMEM)
+        planes_spec = pl.BlockSpec((9, rows, CTILE),
+                                   lambda i, k, j: (zero, i, k),
+                                   memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((BBLK, rows, CTILE),
                                 lambda i, k, j: (j, i, k),
                                 memory_space=pltpu.VMEM)
@@ -403,8 +414,9 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         rows = _pick_rows(W)
         xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
         grid = (Hp // rows, B // BBLK)
-        plane_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
-                                  memory_space=pltpu.VMEM)
+        planes_spec = pl.BlockSpec((9, rows, W),
+                                   lambda i, j: (zero, i, zero),
+                                   memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
                                 memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype)
@@ -417,8 +429,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # x, manual halo DMA
-            plane_spec, plane_spec, plane_spec, plane_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
+            planes_spec,                         # 9 stacked planes
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -426,6 +437,5 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, P.we, P.we_w, P.ws, P.ws_up, P.wse, P.wse_uw, P.wne, P.wne_dw,
-      P.diag)
+    )(xp, P.planes)
     return y[:, :H, :W]

@@ -405,7 +405,7 @@ def stencil_matvec(A: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     if pal is not None:
         from .pallas_stencil import pallas_matvec, supported
         if (supported(pal.shape, x.shape[0]) and
-                x.dtype == pal.diag.dtype and
+                x.dtype == pal.planes.dtype and
                 x.shape[1:] == tuple(pal.shape)):
             return pallas_matvec(pal, x)
     we, ws, wse, wne, diag = A.we, A.ws, A.wse, A.wne, A.diag
