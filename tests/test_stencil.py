@@ -488,3 +488,26 @@ def test_pallas_cheb_step_interpret(shape):
     assert np.abs(np.asarray(r2) - r_ref).max() < 1e-5 * scale
     assert np.abs(np.asarray(d2) - d_ref).max() < 1e-5 * scale
     assert np.abs(np.asarray(x2) - x_ref).max() < 1e-5 * scale
+
+
+def test_solve_chunk_budget_capacity_model(monkeypatch):
+    """Chunk budgets scale with free HBM after fixed residency, honor
+    the env override, and floor chunk widths to powers of two
+    (solve/dispatch.py; the fused solve pads batches UP to one)."""
+    from circuitscape_tpu.solve import dispatch as dp
+
+    monkeypatch.delenv("CS_SHORTCUT_CHUNK_BYTES", raising=False)
+    cells_1m, cells_12m = 1 << 20, 3584 * 3584
+    b1 = dp.solve_chunk_budget(cells_1m)
+    b12 = dp.solve_chunk_budget(cells_12m)
+    assert b1 > b12 > 0                      # fixed bytes grow with cells
+    assert b1 <= dp.HBM_USABLE_BYTES
+    # a 12M-cell job must still get MULTIPLE f64 columns (the flat
+    # 2 GiB budget gave 2; the capacity model gives >= 8)
+    assert b12 // (cells_12m * 64) >= 8
+
+    monkeypatch.setenv("CS_SHORTCUT_CHUNK_BYTES", "12345")
+    assert dp.solve_chunk_budget(cells_1m) == 12345
+
+    assert [dp.pow2_floor(n) for n in (1, 2, 3, 5, 8, 13, 31, 32)] == \
+        [1, 2, 2, 4, 8, 8, 16, 32]
