@@ -218,10 +218,17 @@ def _np_diag(we, ws, wse, wne):
 
 @partial(jax.jit, static_argnames=("shapes", "lams", "coarse_shape",
                                    "overcorrect"))
-def _unpack_hierarchy(flat, shapes, lams, coarse_shape, overcorrect):
+def _unpack_hierarchy(flat, shapes, lams, coarse_shape, overcorrect,
+                      fine_ops=None):
     """Slice ONE uploaded flat buffer into the hierarchy pytree in a
     single device execution (the host link is high-latency; per-array
-    eager ops here used to cost more than the whole solve)."""
+    eager ops here used to cost more than the whole solve).
+
+    fine_ops: optional 5-tuple of DEVICE f32 fine planes (we, ws, wse,
+    wne, diag) for level 0; when given, level 0's six arrays are NOT in
+    flat (they are derived from the already-resident f64 operator —
+    skipping the largest level of the upload, which dominated warm
+    setup on the tunneled TPU at 6M+ cells) and inv_diag computes here."""
     levels = []
     off = 0
 
@@ -232,7 +239,14 @@ def _unpack_hierarchy(flat, shapes, lams, coarse_shape, overcorrect):
         off += n
         return a
 
-    for shape, lam in zip(shapes, lams):
+    for li, (shape, lam) in enumerate(zip(shapes, lams)):
+        if li == 0 and fine_ops is not None:
+            we, ws, wse, wne, diag = fine_ops
+            inv = jnp.where(diag > 0,
+                            1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+            levels.append(GeoMgLevel(
+                StencilOperator(we, ws, wse, wne, diag), inv, lam))
+            continue
         arrs = [take(shape) for _ in range(6)]
         levels.append(GeoMgLevel(StencilOperator(*arrs[:5]), arrs[5], lam))
     n_c = coarse_shape[0] * coarse_shape[1]
@@ -262,7 +276,8 @@ def attach_pallas_planes(hier: GeoMgHierarchy) -> GeoMgHierarchy:
 
 def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
                  coarse_cells=256, max_levels=12, planes_np=None,
-                 fine_op: StencilOperator = None) -> GeoMgHierarchy:
+                 fine_op: StencilOperator = None,
+                 fine_device_ops=None) -> GeoMgHierarchy:
     """Build the hierarchy: ALL setup is host numpy (coarsening is a
     handful of reshape-sums), then the whole hierarchy crosses the host
     link as ONE flat f32 upload + ONE unpack dispatch.  Level 0's
@@ -284,11 +299,18 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
     chunks, shapes, lams = [], [], []
     while (we.shape[0] * we.shape[1] > coarse_cells and
            len(shapes) < max_levels and min(we.shape) >= 2):
-        diag = _np_diag(we, ws, wse, wne)
-        inv = np.where(diag > 0,
-                       1.0 / np.where(diag == 0, 1.0, diag), 0.0)
-        for a in (we, ws, wse, wne, diag, inv):
-            chunks.append(np.asarray(a, np_dtype).ravel())
+        lvl = len(shapes)
+        if not (lvl == 0 and fine_device_ops is not None):
+            # level 0 is skipped from the upload when the caller
+            # supplies device-resident fine ops (derived from the f64
+            # operator already on device — the fine level is ~3/4 of
+            # the hierarchy's bytes and the tunnel upload dominated
+            # warm setup at 6M+ cells)
+            diag = _np_diag(we, ws, wse, wne)
+            inv = np.where(diag > 0,
+                           1.0 / np.where(diag == 0, 1.0, diag), 0.0)
+            for a in (we, ws, wse, wne, diag, inv):
+                chunks.append(np.asarray(a, np_dtype).ravel())
         shapes.append(we.shape)
         lams.append(_estimate_lam_max(we, ws, wse, wne))
         we, ws, wse, wne = _coarsen_planes(we, ws, wse, wne)
@@ -305,7 +327,7 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
     # ~1.9 restores near-grid-independent rates (25 -> 8 CG iterations
     # at 250k cells in the tuning sweep).
     return _unpack_hierarchy(flat, tuple(shapes), tuple(lams),
-                             we.shape, 1.9)
+                             we.shape, 1.9, fine_ops=fine_device_ops)
 
 
 def _coarsen_planes_jnp(we, ws, wse, wne):

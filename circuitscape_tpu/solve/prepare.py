@@ -55,9 +55,21 @@ def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
     gmap = np.asarray(gmap)
     H0, W0 = gmap.shape
     dev_max = int(os.environ.get("CS_DEVICE_MG_MAX", "1200000"))
-    if active_mesh(H0 * W0) is not None or gmap.size > dev_max:
+    if active_mesh(H0 * W0) is not None:
         return prepare_stencil_solver(
             stencil_planes_np(gmap, avg_res, four_neighbors), use_mg)
+    if gmap.size > dev_max:
+        # Large single-device grids: the fused DEVICE hierarchy build's
+        # one-time server compile grows with shape (~23 min at 7040^2),
+        # so the hierarchy still coarsens on HOST — but the f64
+        # operator builds on device from the small gmap upload, and the
+        # hierarchy's fine level (3/4 of its bytes) derives on device
+        # from that operator instead of riding the tunnel.  Upload at
+        # 6M cells: ~470 MB (5 f64 planes + full f32 hierarchy) down
+        # to ~105 MB (gmap + coarse levels + pinv) — the tunnel upload
+        # was the bulk of warm setup (~15.7 s of a 23 s warm job).
+        return _prepare_large_single(gmap, avg_res, four_neighbors,
+                                     use_mg)
 
     qh = qw = 128   # shape bucketing, as prepare_stencil_solver
     Hp = -(-H0 // qh) * qh
@@ -81,6 +93,45 @@ def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
     from .stencil import stencil_activity_stats
 
     from .. import stats
+    stats.record(fine_nnz=stencil_activity_stats(g, four_neighbors),
+                 cells=Hp * Wp,
+                 mg_kernels=[_kernel_name(lv)
+                             for lv in getattr(prec, "levels", ())] or
+                            ["xla-jacobi"])
+    return S64, prec, prec_apply, (H0, W0)
+
+
+def _prepare_large_single(gmap, avg_res, four_neighbors, use_mg=True):
+    """Host-coarsened hierarchy + device-built operator + device-derived
+    fine level, for single-device grids above CS_DEVICE_MG_MAX."""
+    import os
+
+    from .. import stats
+    from .geomg import attach_pallas_planes, build_geo_mg
+    from .stencil import stencil_activity_stats, stencil_planes_np
+
+    H0, W0 = gmap.shape
+    qh = qw = 128
+    Hp = -(-H0 // qh) * qh
+    Wp = -(-W0 // qw) * qw
+    g = np.zeros((Hp, Wp), np.float64)
+    g[:H0, :W0] = np.where(gmap > 0, gmap, 0.0)
+
+    S64 = _planes_from_gmap_j(jnp.asarray(g), bool(avg_res),
+                              bool(four_neighbors))
+
+    prec = prec_apply = None
+    if use_mg:
+        planes = stencil_planes_np(g, avg_res, four_neighbors)
+        A32 = _to_dtype(S64, jnp.float32)
+        prec = build_geo_mg(planes_np=planes,
+                            fine_device_ops=(A32.we, A32.ws, A32.wse,
+                                             A32.wne, A32.diag))
+        if (not os.environ.get("CS_NO_PALLAS") and
+                jax.default_backend() == "tpu"):
+            prec = attach_pallas_planes(prec)
+        prec_apply = geomg_apply
+
     stats.record(fine_nnz=stencil_activity_stats(g, four_neighbors),
                  cells=Hp * Wp,
                  mg_kernels=[_kernel_name(lv)

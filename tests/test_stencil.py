@@ -511,3 +511,59 @@ def test_solve_chunk_budget_capacity_model(monkeypatch):
 
     assert [dp.pow2_floor(n) for n in (1, 2, 3, 5, 8, 13, 31, 32)] == \
         [1, 2, 2, 4, 8, 8, 16, 32]
+
+
+def test_prepare_large_single_matches_host_path(monkeypatch):
+    """The large-grid single-device setup (device operator from gmap +
+    host-coarsened hierarchy with a device-derived fine level) must
+    produce the same operator and a hierarchy equivalent to the pure
+    host path (solve/prepare.py _prepare_large_single)."""
+    import jax.numpy as jnp
+
+    from circuitscape_tpu.solve.prepare import (
+        _prepare_large_single, prepare_stencil_solver)
+    from circuitscape_tpu.solve.stencil import (stencil_planes_np,
+                                                stencil_solve_pairs)
+
+    rng = np.random.default_rng(5)
+    g = rng.uniform(0.5, 3.0, (130, 140))
+    g[rng.random(g.shape) < 0.1] = 0.0
+    monkeypatch.setenv("CS_DISABLE_MESH", "1")
+    # force the host hierarchy branch in the reference path (otherwise
+    # small grids build the hierarchy on device, a different — equally
+    # valid — rounding of every level)
+    monkeypatch.setenv("CS_DEVICE_MG_MAX", "0")
+
+    Sh, ph, ah, shp_h = prepare_stencil_solver(
+        stencil_planes_np(g, False, False))
+    Sl, pl_, al, shp_l = _prepare_large_single(g, False, False)
+    assert shp_h == shp_l == (130, 140)
+    np.testing.assert_allclose(np.asarray(Sl.diag), np.asarray(Sh.diag),
+                               rtol=1e-13, atol=1e-13)
+    assert len(ph.levels) == len(pl_.levels)
+    # fine level: device-derived f32 (f32-summed diag) vs host f64-
+    # summed-then-cast — a few ulp of rounding, irrelevant to the
+    # preconditioner
+    np.testing.assert_allclose(
+        np.asarray(pl_.levels[0].A.diag), np.asarray(ph.levels[0].A.diag),
+        rtol=1e-6, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(pl_.levels[0].inv_diag),
+        np.asarray(ph.levels[0].inv_diag), rtol=1e-6, atol=0)
+    # coarse levels ride the upload in both paths: identical
+    np.testing.assert_array_equal(np.asarray(pl_.levels[1].A.we),
+                                  np.asarray(ph.levels[1].A.we))
+    assert pl_.levels[1].lam_max == ph.levels[1].lam_max
+    # and the solve converges to the same answers through both setups
+    # (focal cells picked inside the dominant 8-connected component)
+    from scipy.ndimage import label
+    lab, _n = label(g > 0, structure=np.ones((3, 3), int))
+    main = np.argmax(np.bincount(lab[lab > 0]))
+    act = np.argwhere(lab == main)
+    pts = act[[10, len(act) // 2, -10]]
+    sc, dc = pts[[0, 0]], pts[[1, 2]]
+    Xh, relh, _ = stencil_solve_pairs(Sh, sc, dc, prec=ph, prec_apply=ah)
+    Xl, rell, _ = stencil_solve_pairs(Sl, sc, dc, prec=pl_, prec_apply=al)
+    assert relh.max() <= 1e-6 and rell.max() <= 1e-6
+    np.testing.assert_allclose(np.asarray(Xl[:2]), np.asarray(Xh[:2]),
+                               rtol=0, atol=1e-5)
