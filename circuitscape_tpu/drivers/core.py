@@ -670,10 +670,14 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
             ckpt.save(resistances, cum)
 
     # maps path: per column also holds the normalized Xb, the f32
-    # voltage fetch copy, and (device-currents jobs) the f32 ncur block
+    # voltage fetch copy, and (device-currents jobs) the f32 ncur block.
+    # Chunks cap at 32 even when HBM allows more: the fetch->currents->
+    # format->write pipeline overlaps host work with the NEXT chunk's
+    # transfer, and one giant chunk serializes the whole output stage
+    # behind the whole solve (measured +20 s warm at 1M x 120 pairs).
     from ..solve.dispatch import pow2_floor, solve_chunk_budget
     per_col = H * W * 8 * 9
-    step = max(1, min(2048,
+    step = max(1, min(32,
                       solve_chunk_budget(H * W) // max(per_col, 1)))
     step = pow2_floor(step)
     if getattr(cfg, "max_parallel", 0) > 0:
