@@ -63,7 +63,7 @@ def make_raster(d, rng, side, npts):
 STAGE_SECTIONS = {
     "setup_s": ("build stencil planes",
                 "prepare stencil solver (upload + MG setup)",
-                "invert nodemap",
+                "invert nodemap", "construct local nodemap",
                 "construct preconditioner/factorization"),
     "solve_s": ("batched pair solve", "solve and accumulate pairs"),
     "output_s": ("write maps", "fetch maps", "node currents + reduce",
