@@ -36,8 +36,11 @@ class SolverFailedError(RuntimeError):
 
 # Conservative usable HBM on the target chip (16 GB v5e minus XLA
 # workspace/fragmentation headroom; docs/capacity.md "Ceilings").
+# 10.5 GiB calibrated against the 48M-cell run: 11.5 allowed a second
+# 3.2 GB RHS column there and the fused loop's temporaries tipped it
+# over; 10.5 keeps that job at one column (which fits with room).
 HBM_USABLE_BYTES = int(float(_os.environ.get("CS_HBM_USABLE_GB",
-                                             "11.5")) * 2**30)
+                                             "10.5")) * 2**30)
 
 
 def solve_chunk_budget(cells: int,
