@@ -416,11 +416,14 @@ def _stencil_shortcut_solve(prob, flags, resistances, voltmatrix,
         per_col = H * W * 8 * 8
         budget = solve_chunk_budget(H * W)
         step = max(1, min(_shortcut_chunk_cap, budget // max(per_col, 1)))
-        step = pow2_floor(step)
         if max_par > 0:
             # Circuitscape-4 `max_parallel` semantics on TPU: cap the
             # number of concurrent solves (batch width) per device chunk
             step = min(step, max_par)
+        # pow2 floor AFTER the max_parallel clamp: the fused solve pads
+        # its batch UP to a power of two, so a non-pow2 cap (e.g. 5)
+        # floors down (->4) instead of padding past the budget (->8)
+        step = pow2_floor(step)
         for s0 in range(0, nb, step):
             chunk = pair_cols[s0:s0 + step]
             bsz = len(chunk)
@@ -677,11 +680,17 @@ def _stencil_maps_solve(prob, flags, cfg, resistances, cum, exclude):
     # behind the whole solve (measured +20 s warm at 1M x 120 pairs).
     from ..solve.dispatch import pow2_floor, solve_chunk_budget
     per_col = H * W * 8 * 9
-    step = max(1, min(32,
-                      solve_chunk_budget(H * W) // max(per_col, 1)))
-    step = pow2_floor(step)
+    # CS_MAPS_CHUNK_BYTES overrides the maps-path chunk budget
+    # specifically; it falls back to CS_SHORTCUT_CHUNK_BYTES (the
+    # historical shared knob) and then to the capacity model.
+    budget = solve_chunk_budget(
+        H * W, env_var=("CS_MAPS_CHUNK_BYTES"
+                        if _os.environ.get("CS_MAPS_CHUNK_BYTES")
+                        else "CS_SHORTCUT_CHUNK_BYTES"))
+    step = max(1, min(32, budget // max(per_col, 1)))
     if getattr(cfg, "max_parallel", 0) > 0:
         step = min(step, cfg.max_parallel)
+    step = pow2_floor(step)   # pow2 AFTER the clamp (batch pads up)
     try:
         for s0 in range(0, len(pair_list), step):
             chunk = pair_list[s0:s0 + step]

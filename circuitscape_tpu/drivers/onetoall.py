@@ -145,9 +145,13 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     per_col = Hp * Wp * 8 * 8
     budget = solve_chunk_budget(Hp * Wp,
                                 env_var="CS_ONETOALL_CHUNK_BYTES")
-    step = pow2_floor(max(1, min(4096, budget // max(per_col, 1))))
+    step = max(1, min(4096, budget // max(per_col, 1)))
     if getattr(cfg, "max_parallel", 0) > 0:
         step = min(step, cfg.max_parallel)   # Circuitscape-4 key: cap
+    # pow2 floor AFTER the max_parallel clamp: the fused solve pads the
+    # batch UP to a power of two, so a non-pow2 cap (e.g. 5) must floor
+    # down (->4), not pad past the budgeted width (->8)
+    step = pow2_floor(step)
     arange = np.arange(npts)
 
     for s0 in range(0, idx_active.size, step):
