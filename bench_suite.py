@@ -363,11 +363,32 @@ def main():
                 "solver": "cg+amg", "precision": "single",
                 "suppress_messages": "True",
             }
-            _note("network-pairwise")
+            _note("network-pairwise (direct tier routing)")
             cold, warm, st = run_cold_warm("network-pairwise", cfg)
             records.append({"scenario": "network-pairwise", "nodes": n,
-                            "points": 20, "cold_s": round(cold, 3),
-                            "warm_s": round(warm, 3)})
+                            "edges": len(E), "points": 20, "pairs": 190,
+                            "cold_s": round(cold, 3),
+                            "warm_s": round(warm, 3),
+                            "cold_run": st[0], "warm_run": st[1],
+                            "note": "cg+amg jobs at direct-tier sizes "
+                                    "route to the native supernodal "
+                                    "Cholesky (CS_NETWORK_DIRECT_MAX)"})
+            _dump(records)
+            # honest comparison row: the same job forced onto the
+            # iterative ELL SA-AMG tier
+            os.environ["CS_NETWORK_DIRECT_MAX"] = "0"
+            try:
+                _note("network-pairwise (forced cg+amg tier)")
+                cold2, warm2, st2 = run_cold_warm("network-amg", cfg)
+                records.append({"scenario": "network-pairwise-amg-forced",
+                                "nodes": n, "edges": len(E), "points": 20,
+                                "pairs": 190, "cold_s": round(cold2, 3),
+                                "warm_s": round(warm2, 3),
+                                "cold_run": st2[0], "warm_run": st2[1],
+                                "note": "CS_NETWORK_DIRECT_MAX=0 "
+                                        "(routing disabled)"})
+            finally:
+                del os.environ["CS_NETWORK_DIRECT_MAX"]
             _dump(records)
 
     if "spmv" in wanted:

@@ -164,14 +164,6 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     of = flags.outputflags
 
     cslog.info("advanced device fast path")
-    from ..solve.prepare import prepare_stencil_solver_from_gmap
-    S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
-        prob.cellmap, flags.avg_res, flags.four_neighbors)
-    Hp, Wp = S64.shape
-    from ..solve.stencil import build_poly_projector
-    proj = (build_poly_projector(nodemap, S64.shape)
-            if prob.polymap.size else None)
-
     n = prob.G.shape[0]
     rr, cc_ = np.nonzero(nodemap)
     node_ids = nodemap[rr, cc_]
@@ -206,17 +198,36 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     if not np.any(src_vec):
         return None   # nothing to solve; let the general path decide
 
-    penalty = advanced_ground_penalty(S64)
     inf_mask = np.isinf(grounds)
-    pen_vec = np.where(inf_mask, penalty, finite)
-
-    # vectors -> grids (one column); merged nodes spread their total
-    # over member cells (total/size each)
     inv_cnt = 1.0 / node_count[node_ids]
+
+    # the ground diagonal as a per-cell field, with np.inf marking
+    # direct grounds (resolved to the penalty scale inside prepare);
+    # merged nodes spread their total over member cells (total/size)
+    with np.errstate(invalid="ignore"):
+        pen_spec = np.zeros((H, W))
+        pen_spec[rr, cc_] = np.where(inf_mask, np.inf,
+                                     finite)[node_ids - 1] * inv_cnt
+
+    # pen-aware setup: the ground diagonal is baked into the hierarchy
+    # (its absence made the V-cycle precondition the floating Laplacian
+    # — 81 CG iterations vs 10 for pairwise at the same 1M grid)
+    from ..solve.prepare import prepare_stencil_solver_from_gmap_pen
+    with_pen = True
+    S64, prec, geomg_apply, _, pen_host = \
+        prepare_stencil_solver_from_gmap_pen(
+            prob.cellmap, flags.avg_res, flags.four_neighbors, pen_spec)
+    if pen_host is None:   # mesh run: masked-preconditioner fallback
+        with_pen = False
+        penalty = advanced_ground_penalty(S64)
+        pen_host = np.where(np.isinf(pen_spec), penalty, pen_spec)
+    Hp, Wp = S64.shape
+    from ..solve.stencil import build_poly_projector
+    proj = (build_poly_projector(nodemap, S64.shape)
+            if prob.polymap.size else None)
+
     src_grid = np.zeros((H, W))
-    pen_grid = np.zeros((H, W))
     src_grid[rr, cc_] = src_vec[node_ids - 1] * inv_cnt
-    pen_grid[rr, cc_] = pen_vec[node_ids - 1] * inv_cnt
 
     sc = np.column_stack([rr, cc_])
     import time as _time
@@ -226,9 +237,10 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     X, rel, iters = stencil_solve_advanced_batch(
         S64,
         sc[None], src_grid[rr, cc_][None],
-        sc[None], pen_grid[rr, cc_][None],
+        sc[None], pen_host[rr, cc_][None],
         rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-        prec=prec, prec_apply=geomg_apply, proj=proj)
+        prec=prec, prec_apply=geomg_apply, proj=proj,
+        pen_in_prec=with_pen)
     stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
     if np.any(rel >= consts.RESIDUAL_GATE):
         raise SolverFailedError(

@@ -252,6 +252,16 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                     # normalize to the source node (src/core.jl:466-472)
                     lhs = lhs - lhs[[ci for ci, _, _ in chunk],
                                     range(len(chunk))][None, :]
+                    # network currents: all columns at once (vectorized
+                    # branch/node currents + pooled file writes) instead
+                    # of one postprocess per pair — the per-pair scatter
+                    # adds were ~70% of the 100k-node benchmark job
+                    batch_net = (not flags.is_raster and not get_shortcut)
+                    if batch_net:
+                        with CSTIMER("postprocess"):
+                            out.network_batch_postprocess(
+                                matrix, lhs, chunk, orig_pts, comp,
+                                cum, flags, cfg)
                     for col, (ci, cj, combos) in enumerate(chunk):
                         voltages = lhs[:, col]
                         resistance = float(voltages[cj] - voltages[ci])
@@ -261,6 +271,15 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
                             output = _Output(points, voltages,
                                              (int(orig_pts[c_i]), int(orig_pts[c_j])),
                                              (ci, cj), resistance, c_j)
+                            if batch_net:
+                                if flags.outputflags.write_volt_maps:
+                                    name = (f"_{output.orig_pts[0]}"
+                                            f"_{output.orig_pts[1]}")
+                                    with CSTIMER("postprocess"):
+                                        out.write_volt_maps(
+                                            name, voltages,
+                                            component_data, flags, cfg)
+                                continue
                             with CSTIMER("postprocess"):
                                 postprocess(output, component_data, flags,
                                             _Shortcut(get_shortcut, voltmatrix,

@@ -17,6 +17,35 @@ from .core import GraphProblem, single_ground_all_pairs
 from .flags import get_network_flags
 
 
+def _pick_network_solver(cfg, n_nodes: int):
+    """Solver tier for a network (edge-list) job.
+
+    Arbitrary sparse graphs have no stencil structure, so the iterative
+    tier runs the general ELL SA-AMG path — but at direct-tier sizes the
+    native supernodal Cholesky (native/cholesky.cpp) factors a network
+    Laplacian in under a second and back-substitutes every pair column
+    in one batch, an order of magnitude faster than CG per RHS.  The
+    reference picks its solver tier freely per job (src/core.jl:74-94);
+    here network cg+amg jobs up to CS_NETWORK_DIRECT_MAX nodes
+    (default 2M) route to the direct tier when the native library is
+    available.  Set CS_NETWORK_DIRECT_MAX=0 to always honor cfg.solver.
+    """
+    import os
+
+    solver = get_solver(cfg)
+    if solver.is_direct:
+        return solver
+    limit = int(os.environ.get("CS_NETWORK_DIRECT_MAX", "2000000"))
+    if 0 < n_nodes <= limit:
+        from ..solve.native_chol import native_available
+        if native_available():
+            cslog.info("Network tier: routing to native direct solver "
+                       "(%s nodes <= CS_NETWORK_DIRECT_MAX)", n_nodes)
+            from ..solve.dispatch import DirectSolver
+            return DirectSolver(cfg)
+    return solver
+
+
 def _assemble(coords, dtype):
     i, j, v = coords
     if np.any(i < 1) or np.any(j < 1):
@@ -56,7 +85,7 @@ def compute_graph_data(data, cfg, dtype=np.float64):
                A.shape[0], len(cc))
     G = build.laplacian(A)
 
-    solver = get_solver(cfg)
+    solver = _pick_network_solver(cfg, A.shape[0])
     cum = out.initialize_cum_vectors(data.coords, G.shape[0])
 
     empty_i = np.zeros((0, 0), np.int64)
@@ -82,7 +111,7 @@ def compute_advanced_data_network(data, flags, cfg, dtype=np.float64):
                A.shape[0], len(cc))
     G = build.laplacian(A)
 
-    solver = get_solver(cfg)
+    solver = _pick_network_solver(cfg, A.shape[0])
     sources, grounds, finite_grounds = get_sources_and_grounds(
         data, flags, G, np.zeros((0, 0), np.int64))
 

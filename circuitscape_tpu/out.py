@@ -229,6 +229,123 @@ def get_branch_currents_3col(G: sp.spmatrix, voltages: np.ndarray, cc):
     return np.column_stack([cc[rows], cc[cols], b])
 
 
+def _incidence_cached(G: sp.spmatrix):
+    """(n x E) one-hot incidence matrices for the cached upper edges:
+    Ji scatters an edge value to its row endpoint, Jc to its column
+    endpoint.  Built once per component matrix — they turn the per-pair
+    np.add.at scatters of get_node_currents into one batched SpMM over
+    all pair columns (np.add.at ran ~8 ms per 200k-edge call, x3 calls
+    x190 pairs = ~9 s of the 100k-node network benchmark)."""
+    cached = getattr(G, "_cs_incidence", None)
+    if cached is None:
+        rows, cols, _ = _edges_cached(G)
+        E = rows.size
+        n = G.shape[0]
+        ar = np.arange(E)
+        ones = np.ones(E)
+        Ji = sp.csr_matrix((ones, (rows, ar)), shape=(n, E))
+        Jc = sp.csr_matrix((ones, (cols, ar)), shape=(n, E))
+        cached = (Ji, Jc)
+        try:
+            G._cs_incidence = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def network_batch_postprocess(G, lhs, chunk, orig_pts, cc, cum, flags, cfg):
+    """Per-pair node/branch current files + cumulative vectors for a
+    whole (n, B) network solve block at once.
+
+    Semantics per pair match write_cur_maps' network path
+    (src/out.jl:29-115): signed branch currents with the per-pair
+    BRANCH_CURRENT_CUTOFF relative threshold, node current =
+    max(inflow, outflow), per-combo file names and per-combo cumulative
+    accumulation.  Vectorization: branch values for all columns come
+    from two gathers + one broadcast multiply, node currents from four
+    SpMMs against cached incidence matrices, and cumulative vectors
+    from one weighted sum over the batch axis.  File writes ride a
+    thread pool (the native formatter releases the GIL).
+
+    chunk: [(ci, cj, combos), ...] aligned with lhs columns."""
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os_
+
+    rows, cols, vals = _edges_cached(G)
+    Ji, Jc = _incidence_cached(G)
+    B = len(chunk)
+    # bound the (E, B) temporaries to ~1 GB: recurse over column slabs
+    max_cols = max(1, (1 << 27) // max(rows.size, 1))
+    if B > max_cols:
+        for s in range(0, B, max_cols):
+            network_batch_postprocess(G, lhs[:, s:s + max_cols],
+                                      chunk[s:s + max_cols], orig_pts,
+                                      cc, cum, flags, cfg)
+        return
+    V = np.asarray(lhs[:, :B], np.float64)
+    b = np.abs(vals)[:, None] * (V[rows, :] - V[cols, :])   # (E, B)
+    absb = np.abs(b)
+    maxcur = absb.max(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = absb / np.where(maxcur == 0, 1.0, maxcur)[None, :]
+    b = np.where(ratio < consts.BRANCH_CURRENT_CUTOFF, 0.0, b)
+    bpos = np.maximum(b, 0.0)
+    bneg = np.maximum(-b, 0.0)
+    # s_pos: b>0 contributes at the column endpoint, b<0 (-b) at the row
+    # endpoint; s_neg is the reverse orientation (out.jl:250-290)
+    s_pos = Jc @ bpos + Ji @ bneg
+    s_neg = Jc @ bneg + Ji @ bpos
+    node_curr = np.maximum(s_pos, s_neg)                    # (n, B)
+
+    combo_n = np.asarray([len(c[2]) for c in chunk], np.float64)
+
+    # cumulative vectors: one accumulation per combo (reference
+    # postprocess runs once per user pair), deterministic batch sum
+    cache = getattr(G, "_cs_branch_idx_full", None)
+    if cache is None:
+        coord_index = getattr(cum, "_coord_index", None)
+        if coord_index is None:
+            coord_index = {}
+            for k, (a, bb) in enumerate(cum.coords):
+                coord_index.setdefault((a, bb), k)
+                coord_index.setdefault((bb, a), k)
+            cum._coord_index = coord_index
+        ccl = np.asarray(cc, np.int64)
+        idx = np.asarray([coord_index.get(
+            (int(ccl[rows[i]]), int(ccl[cols[i]])), -1)
+            for i in range(rows.size)], np.int64)
+        cache = (idx[idx >= 0], np.nonzero(idx >= 0)[0])
+        try:
+            G._cs_branch_idx_full = cache
+        except AttributeError:
+            pass
+    tgt, src = cache
+    np.add.at(cum.cum_branch_curr, tgt, np.abs(b[src]) @ combo_n)
+    np.add.at(cum.cum_node_curr, np.asarray(cc, np.int64) - 1,
+              node_curr @ combo_n)
+
+    ccf = np.asarray(cc, np.float64)
+    erows = ccf[rows]
+    ecols = ccf[cols]
+
+    def _write_one(col):
+        node_arr = np.column_stack([ccf, node_curr[:, col]])
+        babs = np.abs(b[:, col])
+        keep = ~np.isclose(babs, 0.0, atol=consts.OUTPUT_ATOL)
+        branch_arr = np.column_stack([erows[keep], ecols[keep],
+                                      babs[keep]])
+        pref = output_prefix(cfg)
+        for (c_i, c_j) in chunk[col][2]:
+            name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
+            _writedlm(f"{pref}_node_currents{name}.txt", node_arr, "\t")
+            _writedlm(f"{pref}_branch_currents{name}.txt", branch_arr,
+                      "\t")
+
+    with ThreadPoolExecutor(max_workers=max(2, _os_.cpu_count() or 2)) \
+            as pool:
+        list(pool.map(_write_one, range(B)))
+
+
 def create_current_maps(G, voltages, finitegrounds, cfg, nodemap=None,
                         hbmeta=None):
     """src/out.jl:150-176: raster current map or network node/branch."""

@@ -131,6 +131,10 @@ class CGContext:
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """Solve for all columns of rhs (n, B); returns (n, B)."""
+        import time as _time
+
+        from .. import stats
+        _t0 = _time.perf_counter()
         n, B = rhs.shape
         out = np.empty((n, B), self.dtype)
         step = self.max_batch()
@@ -146,6 +150,8 @@ class CGContext:
             X, relres, iters = cg_batched(
                 self.A, jnp.asarray(rp), self.prec,
                 prec_apply=self.prec_apply, rtol=self.rtol, itmax=self.itmax)
+            stats.record(cg_iters=int(iters),
+                         col_iters=int(iters) * block.shape[1])
             relres = np.asarray(relres)[:block.shape[1]]
             bad = relres >= consts.RESIDUAL_GATE
             # ignore all-zero RHS columns (trivially converged)
@@ -156,6 +162,8 @@ class CGContext:
                     f"CG solver did not converge: relative residual {worst} "
                     f"exceeds tolerance {consts.RESIDUAL_GATE}")
             out[:, s:s + block.shape[1]] = np.asarray(X)[:n, :block.shape[1]]
+        stats.record(fine_nnz=self.matrix.nnz,
+                     solve_s=_time.perf_counter() - _t0)
         return out
 
 
@@ -168,6 +176,10 @@ class DirectContext:
     """
 
     def __init__(self, matrix: sp.spmatrix, dtype):
+        import time as _time
+
+        from .. import stats
+        _t0 = _time.perf_counter()
         self.dtype = dtype
         self.matrix = matrix.tocsr().astype(dtype)
         eps = np.finfo(np.dtype(dtype)).eps
@@ -177,6 +189,9 @@ class DirectContext:
         try:
             from .native_chol import NativeCholesky
             self._native = NativeCholesky(shifted)
+            stats.record(fine_nnz=self.matrix.nnz,
+                         factor_nnz_L=int(self._native.nnz_L),
+                         factor_s=_time.perf_counter() - _t0)
         except Exception as e:
             import os
             if os.environ.get("CS_REQUIRE_NATIVE"):
@@ -188,10 +203,15 @@ class DirectContext:
             self._lu = spla.splu(shifted.tocsc().astype(np.float64))
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
+        import time as _time
+
+        from .. import stats
+        _t0 = _time.perf_counter()
         if self._native is not None:
             lhs = self._native.solve(np.asarray(rhs, self.dtype))
         else:
             lhs = self._lu.solve(np.asarray(rhs, np.float64)).astype(self.dtype)
+        stats.record(solve_s=_time.perf_counter() - _t0)
         if lhs.ndim == 1:
             lhs = lhs[:, None]
         # per-column residual gate (src/core.jl:646-653).  einsum

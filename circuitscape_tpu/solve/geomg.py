@@ -130,7 +130,7 @@ def _planes_to_operator(we, ws, wse, wne, dtype) -> StencilOperator:
     return StencilOperator(to(we), to(ws), to(wse), to(wne), to(diag))
 
 
-def _estimate_lam_max(we, ws, wse, wne, iters=12) -> float:
+def _estimate_lam_max(we, ws, wse, wne, iters=12, pen=None) -> float:
     """Estimate of rho(D^-1 A) for the Chebyshev smoother interval.
 
     For a graph Laplacian rho(D^-1 L) <= 2 (Gershgorin: off-diagonal
@@ -152,6 +152,8 @@ def _estimate_lam_max(we, ws, wse, wne, iters=12) -> float:
     diag[1:, 1:] += wse[:-1, :-1]
     diag[1:, :-1] += wne[1:, :-1]
     diag[:-1, 1:] += wne[1:, :-1]
+    if pen is not None:
+        diag = diag + pen
     dinv = np.where(diag > 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
     op = _S(we, ws, wse, wne, diag)
     rng = np.random.default_rng(0)
@@ -274,10 +276,17 @@ def attach_pallas_planes(hier: GeoMgHierarchy) -> GeoMgHierarchy:
                           hier.coarse_shape, hier.overcorrect)
 
 
+def _coarsen_pen_np(p: np.ndarray) -> np.ndarray:
+    """Host 2x2 patch sum of a diagonal penalty field (P^T diag(p) P)."""
+    p = _pad_even(p)
+    H, W = p.shape
+    return p.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3))
+
+
 def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
                  coarse_cells=256, max_levels=12, planes_np=None,
                  fine_op: StencilOperator = None,
-                 fine_device_ops=None) -> GeoMgHierarchy:
+                 fine_device_ops=None, pen_np=None) -> GeoMgHierarchy:
     """Build the hierarchy: ALL setup is host numpy (coarsening is a
     handful of reshape-sums), then the whole hierarchy crosses the host
     link as ONE flat f32 upload + ONE unpack dispatch.  Level 0's
@@ -286,7 +295,11 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
     longer used).
 
     planes_np: optional host copies of the fine planes (avoids a
-    device->host download when the caller built them on host anyway)."""
+    device->host download when the caller built them on host anyway).
+    pen_np: optional (H, W) diagonal penalty field (advanced grounds);
+    added to every level's diagonal and coarsened by 2x2 patch sums —
+    see _build_levels_device.  With fine_device_ops, the caller's fine
+    diag must already include the penalty."""
     if planes_np is not None:
         we, ws, wse, wne = (np.asarray(p, np.float64) for p in planes_np[:4])
     else:
@@ -294,6 +307,7 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
         ws = np.asarray(S.ws, np.float64)
         wse = np.asarray(S.wse, np.float64)
         wne = np.asarray(S.wne, np.float64)
+    pen = None if pen_np is None else np.asarray(pen_np, np.float64)
 
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     chunks, shapes, lams = [], [], []
@@ -307,15 +321,22 @@ def build_geo_mg(S: StencilOperator = None, dtype=jnp.float32,
             # the hierarchy's bytes and the tunnel upload dominated
             # warm setup at 6M+ cells)
             diag = _np_diag(we, ws, wse, wne)
+            if pen is not None:
+                diag = diag + pen
             inv = np.where(diag > 0,
                            1.0 / np.where(diag == 0, 1.0, diag), 0.0)
             for a in (we, ws, wse, wne, diag, inv):
                 chunks.append(np.asarray(a, np_dtype).ravel())
         shapes.append(we.shape)
-        lams.append(_estimate_lam_max(we, ws, wse, wne))
+        lams.append(_estimate_lam_max(we, ws, wse, wne, pen=pen))
         we, ws, wse, wne = _coarsen_planes(we, ws, wse, wne)
+        if pen is not None:
+            pen = _coarsen_pen_np(pen)
 
     dense = _dense_laplacian(we, ws, wse, wne)
+    if pen is not None:
+        dense[np.diag_indices_from(dense)] += _pad_even(pen)[
+            :we.shape[0], :we.shape[1]].ravel()
     # benign identity on empty (all-inactive) coarse cells
     empty = dense.diagonal() == 0
     dense[empty, empty] = 1.0
@@ -395,18 +416,41 @@ def _lam_device(we, ws, wse, wne, diag, inv, iters=12):
     return jnp.minimum(lam * 1.05, 2.0)
 
 
+def _coarsen_pen_jnp(p):
+    """2x2 patch sum of a diagonal (penalty) field — the exact Galerkin
+    coarse diagonal P^T diag(p) P for the piecewise-constant 2x2
+    prolongator."""
+    H, W = p.shape
+    if H % 2 or W % 2:
+        p = jnp.pad(p, ((0, H % 2), (0, W % 2)))
+    return jax.lax.reduce_window(p, jnp.asarray(0, p.dtype), jax.lax.add,
+                                 (2, 2), (2, 2), "VALID")
+
+
 @partial(jax.jit, static_argnames=("nlevels", "est_mask", "pal_mask"))
-def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask):
+def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask,
+                         pen=None):
     """The WHOLE hierarchy setup in ONE device dispatch: per-level
     coarsening, diagonals, Chebyshev lam estimates, and (when pal_mask
     says so) the nine output-aligned Pallas planes.  Eager per-plane ops
     here would each pay a host-tunnel roundtrip — fusing the build was
-    worth ~2 s/job at 1M cells."""
+    worth ~2 s/job at 1M cells.
+
+    pen: optional (H, W) diagonal penalty field (advanced-mode grounds,
+    src/raster/advanced.jl:274-281's G + diag(g)).  It is ADDED to every
+    level's diagonal (so the level operators are the Galerkin coarse
+    versions of L + diag(pen)) and coarsened by 2x2 patch sums — the
+    exact P^T diag(pen) P.  Without it the V-cycle preconditions the
+    floating Laplacian, whose near-null constant mode the grounded
+    operator does not share (measured: 81 CG iterations vs 10 at 1M
+    cells)."""
     from .pallas_stencil import _expand_planes
 
     out, lams = [], []
     for lvl in range(nlevels):
         diag = _diag_from_planes_jnp(we, ws, wse, wne)
+        if pen is not None:
+            diag = diag + pen
         inv = jnp.where(diag > 0,
                         1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
         lam = (_lam_device(we, ws, wse, wne, diag, inv)
@@ -416,12 +460,16 @@ def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask):
         out.append((we, ws, wse, wne, diag, inv, pal))
         lams.append(lam)
         we, ws, wse, wne = _coarsen_planes_jnp(we, ws, wse, wne)
-    return out, jnp.stack(lams), jnp.stack([we, ws, wse, wne])
+        if pen is not None:
+            pen = _coarsen_pen_jnp(pen)
+    if pen is None:
+        pen = jnp.zeros_like(we)
+    return out, jnp.stack(lams), jnp.stack([we, ws, wse, wne, pen])
 
 
 def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
-                        max_levels=12,
-                        expand_pallas=False) -> GeoMgHierarchy:
+                        max_levels=12, expand_pallas=False,
+                        pen=None) -> GeoMgHierarchy:
     """Hierarchy setup ON DEVICE from the (already uploaded) f32 fine
     operator: coarsening, diagonals, lam estimates and optional Pallas
     plane expansion all run as ONE jitted dispatch; only the per-level
@@ -448,7 +496,8 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
         pal_mask = (False,) * len(shapes)
 
     levels_raw, lams_dev, coarse_stack = _build_levels_device(
-        S32.we, S32.ws, S32.wse, S32.wne, len(shapes), est_mask, pal_mask)
+        S32.we, S32.ws, S32.wse, S32.wne, len(shapes), est_mask, pal_mask,
+        pen=pen)
     lams = np.asarray(lams_dev, np.float64)   # one tiny download
 
     from .pallas_stencil import PallasStencil
@@ -461,9 +510,10 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
             StencilOperator(we, ws, wse, wne, diag, pobj), inv,
             float(lam)))
 
-    cwe, cws, cwse, cwne = np.asarray(coarse_stack,
-                                      np.float64)   # one download
+    cwe, cws, cwse, cwne, cpen = np.asarray(coarse_stack,
+                                            np.float64)   # one download
     dense = _dense_laplacian(cwe, cws, cwse, cwne)
+    dense[np.diag_indices_from(dense)] += cpen.ravel()
     empty = dense.diagonal() == 0
     dense[empty, empty] = 1.0
     pinv = jnp.asarray(_sym_pinv(dense), S32.diag.dtype)

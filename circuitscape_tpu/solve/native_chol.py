@@ -83,6 +83,15 @@ def _load():
     return lib
 
 
+def native_available() -> bool:
+    """True when the native library loads (builds lazily on first call)."""
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
 class NativeCholesky:
     """Factorization of an SPD sparse matrix via the native library."""
 

@@ -101,6 +101,78 @@ def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
     return S64, prec, prec_apply, (H0, W0)
 
 
+def prepare_stencil_solver_from_gmap_pen(gmap, avg_res, four_neighbors,
+                                         pen_spec):
+    """Pen-aware setup for advanced-mode solves: the ground diagonal is
+    BAKED INTO the MG hierarchy (coarsened per level, see
+    geomg._build_levels_device) instead of bolted onto a floating-
+    Laplacian V-cycle as a masked diagonal fix-up.
+
+    pen_spec: (H0, W0) float64 host field of per-cell ground
+    conductances; np.inf marks a direct (infinite) ground, resolved to
+    advanced_ground_penalty(S64).
+
+    Returns (S64, prec, prec_apply, (H0, W0), pen_host) where pen_host
+    is the resolved (H0, W0) float64 penalty field whose values the
+    caller must use for the operator's diagonal term (scatter into the
+    outer-residual pen64), or None when the active configuration (mesh
+    runs) does not support baking — the caller then falls back to the
+    masked-preconditioner scheme.
+
+    When pen_host is not None, prec.levels[0].A's diagonal already
+    contains the penalty: the inner CG must apply THAT operator with
+    pen=None (solve/stencil.py stencil_solve_advanced_batch)."""
+    import os
+
+    from ..parallel.mesh import active_mesh
+    from .geomg import attach_pallas_planes
+    from .stencil import (advanced_ground_penalty, stencil_activity_stats,
+                          stencil_planes_np)
+    from .. import stats
+
+    gmap = np.asarray(gmap)
+    H0, W0 = gmap.shape
+    if active_mesh(H0 * W0) is not None:
+        S64, prec, prec_apply, shape0 = prepare_stencil_solver(
+            stencil_planes_np(gmap, avg_res, four_neighbors))
+        return S64, prec, prec_apply, shape0, None
+
+    qh = qw = 128
+    Hp = -(-H0 // qh) * qh
+    Wp = -(-W0 // qw) * qw
+    g = np.zeros((Hp, Wp), np.float64)
+    g[:H0, :W0] = np.where(gmap > 0, gmap, 0.0)
+    S64 = _planes_from_gmap_j(jnp.asarray(g), bool(avg_res),
+                              bool(four_neighbors))
+
+    penalty = advanced_ground_penalty(S64)   # one tiny scalar fetch
+    pen_host = np.where(np.isinf(pen_spec), penalty,
+                        np.asarray(pen_spec, np.float64))
+    pen_pad = np.zeros((Hp, Wp), np.float64)
+    pen_pad[:H0, :W0] = pen_host
+
+    expand = (not os.environ.get("CS_NO_PALLAS") and
+              jax.default_backend() == "tpu")
+    dev_max = int(os.environ.get("CS_DEVICE_MG_MAX", "1200000"))
+    A32 = _to_dtype(S64, jnp.float32)
+    pen32 = jnp.asarray(pen_pad, jnp.float32)
+    if g.size <= dev_max:
+        prec = build_geo_mg_device(A32, expand_pallas=expand, pen=pen32)
+    else:
+        planes = stencil_planes_np(g, avg_res, four_neighbors)
+        prec = build_geo_mg(
+            planes_np=planes, pen_np=pen_pad,
+            fine_device_ops=(A32.we, A32.ws, A32.wse, A32.wne,
+                             A32.diag + pen32))
+        if expand:
+            prec = attach_pallas_planes(prec)
+
+    stats.record(fine_nnz=stencil_activity_stats(g, four_neighbors),
+                 cells=Hp * Wp,
+                 mg_kernels=[_kernel_name(lv) for lv in prec.levels])
+    return S64, prec, geomg_apply, (H0, W0), pen_host
+
+
 def _prepare_large_single(gmap, avg_res, four_neighbors, use_mg=True):
     """Host-coarsened hierarchy + device-built operator + device-derived
     fine level, for single-device grids above CS_DEVICE_MG_MAX."""

@@ -980,7 +980,8 @@ def _scatter_field(cells, vals, H, W):
 def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
                                  gnd_cells, gnd_vals, rtol=1e-6,
                                  itmax=100_000, prec=None, prec_apply=None,
-                                 max_refine=4, proj=None):
+                                 max_refine=4, proj=None,
+                                 pen_in_prec=False):
     """Batched advanced-mode solve: (G + diag(g)) v = s per column.
 
     Each column has its own sources (cells + strengths) and grounds
@@ -993,6 +994,12 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
 
     src_cells/gnd_cells: (B, K, 2) int arrays (pad with (0,0) + value 0)
     src_vals/gnd_vals:   (B, K) float64
+
+    pen_in_prec: the hierarchy was built with the ground diagonal baked
+    into every level (prepare_stencil_solver_from_gmap_pen) — its fine
+    level IS the f32 (G + diag(g)) operator, so the inner CG runs with
+    pen=None and the plain V-cycle preconditioner.  The f64 outer
+    residual always applies S64 + pen explicitly either way.
 
     Returns (X (f64 device, (B, H, W)), rel (np, B), iters).
     """
@@ -1048,7 +1055,9 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
             rtol / np.where(rel == 0, 1.0, rel), INNER_RTOL, 0.05)
         dX, _, it = stencil_cg(A_lo, R.astype(jnp.float32), inner,
                                itmax=itmax, prec=prec,
-                               prec_apply=prec_apply, pen=pen32, proj=proj)
+                               prec_apply=prec_apply,
+                               pen=None if pen_in_prec else pen32,
+                               proj=proj)
         X = X + dX.astype(jnp.float64)
         R = B_rhs - _apply_op_jit(S64, X, pen64, proj)
         rel = np.asarray(

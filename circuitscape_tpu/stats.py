@@ -23,7 +23,7 @@ def reset():
         JOB.clear()
 
 
-_ACCUM = {"cg_iters", "col_iters", "spmv_bytes", "solve_s"}
+_ACCUM = {"cg_iters", "col_iters", "spmv_bytes", "solve_s", "factor_s"}
 
 
 def record(**kw):
