@@ -50,10 +50,19 @@ def raster_advanced(cfg, dtype=np.float64):
 def compute_advanced_data(data, flags, cfg, dtype=np.float64):
     """src/raster/advanced.jl:36-71."""
     nodemap = build.construct_node_map(data.cellmap, data.polymap)
-    A = build.construct_graph(data.cellmap, nodemap, flags.avg_res,
-                              flags.four_neighbors)
-    G = build.laplacian(A)
-    cc = build.components(G)
+    if data.polymap.size:
+        A = build.construct_graph(data.cellmap, nodemap, flags.avg_res,
+                                  flags.four_neighbors)
+        G = build.laplacian(A)
+        cc = build.components(G)
+    else:
+        # no polygons: the stencil IS the graph — defer the CSR build
+        # (seconds of host time at 1M cells) exactly like the pairwise
+        # fast path; the general path materializes on demand
+        from .raster import LazyStencilGraph, _grid_components
+        G = LazyStencilGraph(data.cellmap, nodemap, flags.avg_res,
+                             flags.four_neighbors, dtype)
+        cc = _grid_components(data.cellmap, nodemap, flags.four_neighbors)
 
     sources, grounds, finitegrounds = get_sources_and_grounds(
         data, flags, G, nodemap)
@@ -212,11 +221,13 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
     # pen-aware setup: the ground diagonal is baked into the hierarchy
     # (its absence made the V-cycle precondition the floating Laplacian
     # — 81 CG iterations vs 10 for pairwise at the same 1M grid)
+    from ..timer import CSTIMER
     from ..solve.prepare import prepare_stencil_solver_from_gmap_pen
     with_pen = True
-    S64, prec, geomg_apply, _, pen_host = \
-        prepare_stencil_solver_from_gmap_pen(
-            prob.cellmap, flags.avg_res, flags.four_neighbors, pen_spec)
+    with CSTIMER("prepare stencil solver (upload + MG setup)"):
+        S64, prec, geomg_apply, _, pen_host = \
+            prepare_stencil_solver_from_gmap_pen(
+                prob.cellmap, flags.avg_res, flags.four_neighbors, pen_spec)
     if pen_host is None:   # mesh run: masked-preconditioner fallback
         with_pen = False
         penalty = advanced_ground_penalty(S64)
@@ -234,41 +245,51 @@ def _advanced_device_fast(prob: AdvancedProblem, flags, cfg,
 
     from .. import stats
     _t0 = _time.perf_counter()
-    X, rel, iters = stencil_solve_advanced_batch(
-        S64,
-        sc[None], src_grid[rr, cc_][None],
-        sc[None], pen_host[rr, cc_][None],
-        rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-        prec=prec, prec_apply=geomg_apply, proj=proj,
-        pen_in_prec=with_pen)
+    with CSTIMER("batched pair solve"):
+        X, rel, iters = stencil_solve_advanced_batch(
+            S64,
+            sc[None], src_grid[rr, cc_][None],
+            sc[None], pen_host[rr, cc_][None],
+            rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
+            prec=prec, prec_apply=geomg_apply, proj=proj,
+            pen_in_prec=with_pen)
     stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
     if np.any(rel >= consts.RESIDUAL_GATE):
         raise SolverFailedError(
             f"advanced device solve residual {float(rel.max())} exceeds "
             f"tolerance {consts.RESIDUAL_GATE}")
 
-    volt = np.array(X[0], dtype)[:H, :W]
+    with CSTIMER("fetch maps"):
+        # cast on device: the job's output dtype rides the (slow) link
+        # instead of the solver's f64 (half the bytes at single)
+        volt = np.asarray(X[0].astype(jnp.dtype(np.dtype(dtype).name)),
+                          dtype)[:H, :W].copy()
     volt[nodemap == 0] = 0
 
     outcurr = np.zeros((H, W), dtype)
     if force_currents or of.write_cur_maps or of.write_cum_cur_map_only:
-        if fg_sentinel:
-            ncur = stencil_node_currents(S64, X, proj=proj)[0]
-        else:
-            # finite-ground diagonal current terms (penalty cells are
-            # the reference's deleted nodes — excluded from the term)
-            fin_grid = np.zeros((Hp, Wp))
-            fin_grid[rr, cc_] = np.where(inf_mask, 0.0,
-                                         finite)[node_ids - 1] * inv_cnt
-            ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid),
-                                          proj=proj)[0]
-        outcurr = np.asarray(ncur, dtype)[:H, :W]
+        with CSTIMER("node currents + reduce"):
+            if fg_sentinel:
+                ncur = stencil_node_currents(S64, X, proj=proj)[0]
+            else:
+                # finite-ground diagonal current terms (penalty cells
+                # are the reference's deleted nodes — excluded)
+                fin_grid = np.zeros((Hp, Wp))
+                fin_grid[rr, cc_] = np.where(inf_mask, 0.0,
+                                             finite)[node_ids - 1] * inv_cnt
+                ncur = _node_currents_with_fg(S64, X, jnp.asarray(fin_grid),
+                                              proj=proj)[0]
+            outcurr = np.asarray(
+                ncur.astype(jnp.dtype(np.dtype(dtype).name)),
+                dtype)[:H, :W].copy()
         if of.write_cur_maps or of.write_cum_cur_map_only:
-            out.write_grid(outcurr.copy(), "", cfg, prob.hbmeta,
-                           cellmap=prob.cellmap)
+            with CSTIMER("write maps"):
+                out.write_grid(outcurr.copy(), "", cfg, prob.hbmeta,
+                               cellmap=prob.cellmap)
     if of.write_volt_maps:
-        out.write_grid(volt.copy(), "", cfg, prob.hbmeta,
-                       cellmap=prob.cellmap, voltage=True)
+        with CSTIMER("write maps"):
+            out.write_grid(volt.copy(), "", cfg, prob.hbmeta,
+                           cellmap=prob.cellmap, voltage=True)
 
     return volt, outcurr
 

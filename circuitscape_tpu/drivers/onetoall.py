@@ -80,9 +80,46 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     cslog.info("one-to-all device fast path: %s points in one batch",
                len(pts))
 
-    from ..solve.prepare import prepare_stencil_solver_from_gmap
-    S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
-        gmap, flags.avg_res, flags.four_neighbors)
+    # one-to-all columns ground ALL other focal nodes, so the shared
+    # penalty field (penalty at every focal cell) is within one cell of
+    # every column's exact ground diagonal — bake it into the hierarchy
+    # (prepare_stencil_solver_from_gmap_pen) so the V-cycle
+    # preconditions the grounded operator instead of the floating
+    # Laplacian.  All-to-one grounds a single (different) cell per
+    # column — no shared field matches, keep the base hierarchy.
+    from ..timer import CSTIMER
+    bake_pen = one_to_all and len(pts) > 1
+    pen_host = None
+    if bake_pen:
+        pen_spec = np.zeros((H, W))
+        pen_spec[np.asarray(rows) - 1, np.asarray(cols) - 1] = np.inf
+        from ..solve.prepare import prepare_stencil_solver_from_gmap_pen
+        with CSTIMER("prepare stencil solver (upload + MG setup)"):
+            S64, prec, geomg_apply, _, pen_host = \
+                prepare_stencil_solver_from_gmap_pen(
+                    gmap, flags.avg_res, flags.four_neighbors, pen_spec)
+    if pen_host is None:
+        bake_pen = False
+        from ..solve.prepare import prepare_stencil_solver_from_gmap
+        with CSTIMER("prepare stencil solver (upload + MG setup)"):
+            S64, prec, geomg_apply, _ = prepare_stencil_solver_from_gmap(
+                gmap, flags.avg_res, flags.four_neighbors)
+    A_lo = None
+    if bake_pen:
+        # each column's exact operator = bare Laplacian + its own
+        # penalty field; prec.levels[0].A has the shared penalty baked
+        # into its diagonal and would double-count
+        import jax
+        from ..solve.stencil import _to_dtype
+        A_lo = _to_dtype(S64, np.float32)
+        if (not os.environ.get("CS_NO_PALLAS") and
+                jax.default_backend() == "tpu"):
+            from ..solve.pallas_stencil import PallasStencil, supported
+            if supported(A_lo.shape, 4):
+                from ..solve.stencil import StencilOperator
+                A_lo = StencilOperator(
+                    A_lo.we, A_lo.ws, A_lo.wse, A_lo.wne, A_lo.diag,
+                    PallasStencil.from_operator(A_lo))
 
     # nodemap with polygon (short-circuit region) merging, matching the
     # general path's graph build (src/raster/onetoall.jl:86-90); the
@@ -179,10 +216,12 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
         from ..solve.dispatch import reraise_if_device_oom
         _t0 = _time.perf_counter()
         try:
+          with CSTIMER("batched pair solve"):
             X, rel, iters = stencil_solve_advanced_batch(
                 S64, src_cells, src_vals, gnd_cells, gnd_vals,
                 rtol=consts.CG_RTOL, itmax=consts.CG_ITMAX,
-                prec=prec, prec_apply=geomg_apply, proj=proj)
+                prec=prec, prec_apply=geomg_apply, proj=proj,
+                A_lo=A_lo)
         except Exception as e:
             reraise_if_device_oom(e, Hp * Wp, bsz)
         stats.record_solve(X.shape, iters, _time.perf_counter() - _t0)
@@ -202,21 +241,25 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                 res[i] = 0.0
 
         if of.write_cur_maps or of.write_cum_cur_map_only:
-            ncur = stencil_node_currents(S64, X, proj=proj)
-            if of.write_cur_maps:
-                cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))[:H, :W]
-                if of.write_max_cur_maps:
-                    np.maximum(cum.max_curr,
-                               np.asarray(jnp.max(ncur, axis=0))[:H, :W],
-                               out=cum.max_curr)
-            for k, i in enumerate(sel):
-                out.write_grid(np.asarray(ncur[k], dtype)[:H, :W],
-                               f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap)
+            with CSTIMER("node currents + reduce"):
+                ncur = stencil_node_currents(S64, X, proj=proj)
+                if of.write_cur_maps:
+                    cum.cum_curr += np.asarray(jnp.sum(ncur, axis=0))[:H, :W]
+                    if of.write_max_cur_maps:
+                        np.maximum(cum.max_curr,
+                                   np.asarray(jnp.max(ncur, axis=0))[:H, :W],
+                                   out=cum.max_curr)
+            with CSTIMER("write maps"):
+                for k, i in enumerate(sel):
+                    out.write_grid(np.asarray(ncur[k], dtype)[:H, :W],
+                                   f"_{int(pts[i])}", cfg, hbmeta,
+                                   cellmap=gmap)
         if of.write_volt_maps:
-            for k, i in enumerate(sel):
-                out.write_grid(np.asarray(X[k], dtype)[:H, :W],
-                               f"_{int(pts[i])}", cfg, hbmeta, cellmap=gmap,
-                               voltage=True)
+            with CSTIMER("write maps"):
+                for k, i in enumerate(sel):
+                    out.write_grid(np.asarray(X[k], dtype)[:H, :W],
+                                   f"_{int(pts[i])}", cfg, hbmeta,
+                                   cellmap=gmap, voltage=True)
 
     if of.write_cur_maps or of.write_cum_cur_map_only:
         out.write_cum_maps(cum, gmap, cfg, hbmeta, of.write_max_cur_maps,

@@ -328,6 +328,9 @@ class LazyStencilGraph:
     def __getitem__(self, key):
         return self.materialize()[key]
 
+    def tocsr(self):
+        return self.materialize().tocsr()
+
 
 def _grid_components(cellmap, nodemap, four_neighbors):
     """Connected components of the active-cell grid via ndimage labeling

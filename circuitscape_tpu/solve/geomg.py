@@ -541,13 +541,12 @@ def _restrict(r):
 def _prolong(xc, H, W):
     """Piecewise-constant interpolation (P); crops padded dims.
 
-    Interior padding + three shifted adds: jnp.repeat's broadcast-
-    reshape materializes the same tiled-layout-hostile trailing dim-2
-    temp as the old _restrict (see above)."""
-    zero = jnp.asarray(0, xc.dtype)
-    z = jax.lax.pad(xc, zero, ((0, 0, 0), (0, 1, 1), (0, 1, 1)))
-    from .stencil import _sh
-    up = z + _sh(z, 1, 0) + _sh(z, 0, 1) + _sh(z, 1, 1)
+    jnp.repeat on both grid axes: measured 0.26 ms at (32, 512, 512)
+    f32 on v5e vs 2.77 ms for the interior-pad + three-shifted-adds
+    formulation this replaces (BENCH_VCYCLE prolong_* rows) — current
+    XLA lowers the repeat without the tiled-layout dim-2 temp that
+    motivated the shift formulation in round 4."""
+    up = jnp.repeat(jnp.repeat(xc, 2, axis=1), 2, axis=2)
     return up[:, :H, :W]
 
 
@@ -606,8 +605,21 @@ def _vcycle(hier: GeoMgHierarchy, lvl: int, b):
         return x.reshape(B, hc, wc)
     L = hier.levels[lvl]
     x = _cheb_smooth(L, b, None)        # pre-smooth from zero
-    r = b - stencil_matvec(L.A, x)
-    xc = _vcycle(hier, lvl + 1, _restrict(r))
+    # fused residual + restrict: the pre-smooth residual exists only to
+    # be restricted, so the Pallas variant never writes it to HBM
+    pal = getattr(L.A, "pallas", None)
+    use_rr = False
+    if pal is not None:
+        from .pallas_stencil import rr_supported
+        use_rr = (rr_supported(pal.shape, b.shape[0]) and
+                  b.dtype == pal.planes.dtype and
+                  b.shape[1:] == tuple(pal.shape))
+    if use_rr:
+        from .pallas_stencil import pallas_residual_restrict
+        rc = pallas_residual_restrict(pal, b, x)
+    else:
+        rc = _restrict(b - stencil_matvec(L.A, x))
+    xc = _vcycle(hier, lvl + 1, rc)
     # piecewise-constant-prolongator MG underestimates the correction;
     # a fixed over-correction factor restores grid-independent rates
     x = x + hier.overcorrect * _prolong(xc, b.shape[1], b.shape[2])

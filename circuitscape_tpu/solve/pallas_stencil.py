@@ -377,6 +377,203 @@ def supported(S_shape, B) -> bool:
     return True
 
 
+# --- fused residual + restrict ------------------------------------------
+#
+# The V-cycle's pre-smooth residual exists only to be restricted:
+# rc = restrict(b - L x).  Computing r with the matvec kernel and
+# restricting in XLA writes the full-size r to HBM and reads it back
+# (~2 full passes); this kernel consumes the residual in VMEM and
+# writes only the quarter-size coarse block.
+
+def _rr_rows(W: int) -> int:
+    """Row-slab height for the residual+restrict kernel (0 = no fit).
+    Streams one more full-size block (b) than the matvec kernel and a
+    quarter-size output."""
+    Wp2 = -(-(W + 2) // 128) * 128
+    for rows in (64, 32, 16):
+        vmem = (9 * 2 * rows * W * 4 +               # plane blocks
+                2 * BBLK * rows * W * 4 +            # b blocks
+                2 * BBLK * (rows // 2) * (W // 2) * 4 +  # out blocks
+                2 * BBLK * (rows + 16) * Wp2 * 4 +   # halo scratch x2
+                5 * BBLK * rows * W * 4)             # compute temps
+        if vmem <= 8 * 2**20:
+            return rows
+    return 0
+
+
+def rr_supported(S_shape, B) -> bool:
+    H, W = S_shape
+    return (H >= 64 and B % BBLK == 0 and H % 2 == 0 and
+            W % 256 == 0 and W <= 4094 and _rr_rows(W) > 0)
+
+
+def _rr_kernel(xp_hbm, b_ref, ps, ec_ref, er_ref, rc_ref, xs, sem, *,
+               rows):
+    blk = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
+                                    tiled=False, bblk=BBLK)
+    W = b_ref.shape[2]
+
+    def at(dr, dc):
+        return blk[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
+
+    (we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag) = (
+        ps[t] for t in range(9))
+    r = b_ref[:] - diag[None] * at(0, 0)
+    r += we[None] * at(0, 1) + we_w[None] * at(0, -1)
+    r += ws[None] * at(1, 0) + ws_up[None] * at(-1, 0)
+    r += wse[None] * at(1, 1) + wse_uw[None] * at(-1, -1)
+    r += wne[None] * at(-1, 1) + wne_dw[None] * at(1, -1)
+    # 2x2 patch sum via 0/1 selector matmuls on the MXU: Mosaic has no
+    # stride-2 slice (gather is 2D-only and shape-preserving), but the
+    # pair-sum IS a contraction — Er @ r pairs sublanes, and lane pairs
+    # contract 256-lane input tiles to 128-lane output tiles with one
+    # small (256, 128) selector, so every store stays 128-aligned.
+    # Total MXU work ~0.3 ms per fine V-cycle at 1M x 32.
+    ec = ec_ref[:]          # (256, 128) lane-pair selector
+    er = er_ref[:]          # (rows//2, rows) sublane-pair selector
+    # HIGHEST precision: the default MXU path truncates f32 operands to
+    # bf16 (measured 6e-3 relative error in the restricted residual)
+    hp = jax.lax.Precision.HIGHEST
+    for k in range(r.shape[0]):
+        q = jnp.dot(er, r[k], preferred_element_type=jnp.float32,
+                    precision=hp)
+        for t in range(W // 256):
+            rc_ref[k, :, t * 128:(t + 1) * 128] = jnp.dot(
+                q[:, t * 256:(t + 1) * 256], ec,
+                preferred_element_type=jnp.float32, precision=hp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_residual_restrict(P: PallasStencil, b: jnp.ndarray,
+                             x: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """restrict(b - L x) for (B, H, W) blocks in one pass; H, W even.
+    Output is (B, H//2, W//2)."""
+    B, H, W = x.shape
+    Hp, Wplanes = P.planes.shape[1:]
+    zero = np.int32(0)
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    rows = _rr_rows(W)
+    xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    bp = jnp.pad(b, ((0, 0), (0, Hp - H), (0, 0)))
+    grid = (Hp // rows, B // BBLK)
+    # 0/1 pair-sum selectors (see _rr_kernel)
+    ec = jnp.zeros((256, 128), x.dtype).at[
+        jnp.arange(256), jnp.arange(256) // 2].set(1.0)
+    er = jnp.zeros((rows // 2, rows), x.dtype).at[
+        jnp.arange(rows) // 2, jnp.arange(rows)].set(1.0)
+    planes_spec = pl.BlockSpec((9, rows, W),
+                               lambda i, j: (zero, i, zero),
+                               memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                          memory_space=pltpu.VMEM)
+    ec_spec = pl.BlockSpec((256, 128), lambda i, j: (zero, zero),
+                           memory_space=pltpu.VMEM)
+    er_spec = pl.BlockSpec((rows // 2, rows), lambda i, j: (zero, zero),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BBLK, rows // 2, W // 2),
+                            lambda i, j: (j, i, zero),
+                            memory_space=pltpu.VMEM)
+    rc = pl.pallas_call(
+        functools.partial(_rr_kernel, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((B, Hp // 2, W // 2), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # x, manual halo DMA
+            b_spec,
+            planes_spec,
+            ec_spec,
+            er_spec,
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, bp, P.planes, ec, er)
+    return rc[:, :H // 2, :]
+
+
+# --- fused matvec + partial pAp dot -------------------------------------
+#
+# The CG loop needs pAp = sum(P * (L P)) right after the matvec; as XLA
+# ops that is one extra full read pass over P and AP.  This variant of
+# the matvec kernel also emits per-(slab, batch-block) partial dots,
+# reduced by a tiny XLA sum over the slab axis.
+
+def _mv_dot_kernel(xp_hbm, ps, y_ref, pp_ref, xs, sem, *, rows, tiled):
+    b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
+                                  tiled=tiled, bblk=BBLK)
+    W = y_ref.shape[2]
+    choff = 128 if tiled else 1
+
+    def at(dr, dc):
+        return b[:, 8 + dr:8 + dr + rows, choff + dc:choff + dc + W]
+
+    (we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag) = (
+        ps[t] for t in range(9))
+    xc = at(0, 0)
+    y = diag[None] * xc
+    y -= we[None] * at(0, 1) + we_w[None] * at(0, -1)
+    y -= ws[None] * at(1, 0) + ws_up[None] * at(-1, 0)
+    y -= wse[None] * at(1, 1) + wse_uw[None] * at(-1, -1)
+    y -= wne[None] * at(-1, 1) + wne_dw[None] * at(1, -1)
+    y_ref[:] = y
+    # per-step partials land in an (8, 128) tile-aligned slot per grid
+    # step (sub-tile dynamic stores crash the Mosaic layout pass); the
+    # caller sums slots and strips the padding
+    # keep every intermediate >= 2D (1D values crash Mosaic's layout
+    # pass — including multi-axis reductions, which produce one
+    # internally): reduce one axis at a time, partials land at rows
+    # 0..BBLK-1, lane 0 of the slot
+    s = jnp.sum(y * xc, axis=2)                       # (BBLK, rows)
+    vec = jnp.sum(s, axis=1, keepdims=True)           # (BBLK, 1)
+    pp_ref[:] = jnp.pad(vec, ((0, 8 - BBLK), (0, 127)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_matvec_pap(P: PallasStencil, x: jnp.ndarray,
+                      interpret: bool = False):
+    """(L x, per-column x . L x) in one pass; same support envelope as
+    pallas_matvec (non-tiled widths)."""
+    B, H, W = x.shape
+    Hp, Wplanes = P.planes.shape[1:]
+    zero = np.int32(0)
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    rows = _pick_rows(W)
+    xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    grid = (Hp // rows, B // BBLK)
+    planes_spec = pl.BlockSpec((9, rows, W),
+                               lambda i, j: (zero, i, zero),
+                               memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                            memory_space=pltpu.VMEM)
+    n_i = Hp // rows
+    n_j = B // BBLK
+    pp_spec = pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    y, pp = pl.pallas_call(
+        functools.partial(_mv_dot_kernel, rows=rows, tiled=False),
+        out_shape=(jax.ShapeDtypeStruct((B, Hp, W), x.dtype),
+                   jax.ShapeDtypeStruct((n_i * 8, n_j * 128), x.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            planes_spec,
+        ],
+        out_specs=(out_spec, pp_spec),
+        scratch_shapes=[
+            pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, P.planes)
+    # slot (i, j) holds its partials at rows 0..BBLK-1, lane 0
+    parts = pp.reshape(n_i, 8, n_j, 128)[:, :BBLK, :, 0]   # (n_i, BBLK, n_j)
+    return y[:, :H, :W], parts.sum(axis=0).T.reshape(B)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:

@@ -545,8 +545,12 @@ def _cg_state_init(A: StencilOperator, B: jnp.ndarray, prec=None,
     Z = _make_prec_apply(A, prec, prec_apply, pen, proj)(B)
     R = B
     big = jnp.asarray(jnp.finfo(B.dtype).max, B.dtype)
+    # rn2 (per-column ||R||^2) rides the state so neither the loop
+    # condition nor the stall detector recomputes the reduction — a
+    # full read pass over R per occurrence (~0.5 ms/iter at 1M x 32)
     return (jnp.zeros_like(B), R, Z, Z, jnp.sum(R * Z, axis=(-2, -1)),
-            jnp.asarray(0), big, jnp.asarray(0))
+            jnp.asarray(0), big, jnp.asarray(0),
+            jnp.sum(R * R, axis=(-2, -1)))
 
 
 _cg_state_init_jit = jax.jit(_cg_state_init, static_argnames=("prec_apply",))
@@ -563,8 +567,8 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
     apply_M = _make_prec_apply(A, prec, prec_apply, pen, proj)
 
     def not_done(carry):
-        X, R, Z, P, rz, k, best, since = carry
-        resnorm = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1)))
+        X, R, Z, P, rz, k, best, since, rn2 = carry
+        resnorm = jnp.sqrt(rn2)
         worst = jnp.max(resnorm / safe_bnorm)
         # `since` detects stall at the f32 rounding floor; the `worst`
         # guard detects DIVERGENCE past it (once the recurrence hits the
@@ -576,10 +580,26 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
                             jnp.logical_and(since < 50, worst <= best * 8)),
             jnp.any(resnorm > tol))
 
+    # fused matvec + partial pAp (one pass) when the plain operator is
+    # in play; penalty/projector paths keep the composite apply
+    pal = getattr(A, "pallas", None) if pen is None and proj is None \
+        else None
+    use_mvdot = False
+    if pal is not None and getattr(A, "shard", None) is None:
+        from .pallas_stencil import supported as _pal_ok
+        d0 = B.shape  # (nrhs, H, W) template
+        use_mvdot = (_pal_ok(pal.shape, d0[0]) and
+                     B.dtype == pal.planes.dtype and
+                     d0[1:] == tuple(pal.shape) and pal.W <= 4094)
+
     def body(carry):
-        X, R, Z, P, rz, k, best, since = carry
-        AP = _apply_op(A, P, pen, proj)
-        pAp = jnp.sum(P * AP, axis=(-2, -1))
+        X, R, Z, P, rz, k, best, since, _ = carry
+        if use_mvdot:
+            from .pallas_stencil import pallas_matvec_pap
+            AP, pAp = pallas_matvec_pap(pal, P)
+        else:
+            AP = _apply_op(A, P, pen, proj)
+            pAp = jnp.sum(P * AP, axis=(-2, -1))
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         X = X + alpha[:, None, None] * P
         R = R - alpha[:, None, None] * AP
@@ -594,11 +614,12 @@ def _cg_loop(A, B, state, tol, safe_bnorm, k_stop, itmax, prec=None,
         rz_new = jnp.sum(R * Z, axis=(-2, -1))
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         P = Z + beta[:, None, None] * P
-        worst = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=(-2, -1))) / safe_bnorm)
+        rn2 = jnp.sum(R * R, axis=(-2, -1))
+        worst = jnp.max(jnp.sqrt(rn2) / safe_bnorm)
         improved = worst < best * 0.999
         best = jnp.minimum(best, worst)
         since = jnp.where(improved, 0, since + 1)
-        return (X, R, Z, P, rz_new, k + 1, best, since)
+        return (X, R, Z, P, rz_new, k + 1, best, since, rn2)
 
     return jax.lax.while_loop(not_done, body, state)
 
@@ -613,8 +634,8 @@ def stencil_cg_device(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
     eps_floor = 32 * jnp.finfo(B.dtype).eps
     tol = jnp.maximum(rtol, eps_floor) * bnorm
     state = _cg_state_init(A, B)
-    X, R, Z, P, rz, iters, _, _ = _cg_loop(A, B, state, tol, safe_bnorm,
-                                           itmax, itmax)
+    X, R, Z, P, rz, iters, _, _, _ = _cg_loop(A, B, state, tol, safe_bnorm,
+                                              itmax, itmax)
     relres = jnp.sqrt(jnp.sum((B - stencil_matvec(A, X)) ** 2,
                               axis=(-2, -1))) / safe_bnorm
     return X, relres, iters
@@ -660,7 +681,7 @@ def stencil_cg(A: StencilOperator, B: jnp.ndarray, rtol=1e-6,
         state = _cg_chunk(A, B, state, tol, safe_bnorm, chunk, itmax,
                           prec, prec_apply, pen, proj)
         k = int(state[5])
-        resnorm = np.sqrt(np.asarray(jnp.sum(state[1] ** 2, axis=(-2, -1))))
+        resnorm = np.sqrt(np.asarray(state[8]))
         # k == k_prev: the device loop refused to advance (stall at the
         # f32 floor or divergence guard) — the caller's outer refinement
         # takes over from the true residual
@@ -981,7 +1002,7 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
                                  gnd_cells, gnd_vals, rtol=1e-6,
                                  itmax=100_000, prec=None, prec_apply=None,
                                  max_refine=4, proj=None,
-                                 pen_in_prec=False):
+                                 pen_in_prec=False, A_lo=None):
     """Batched advanced-mode solve: (G + diag(g)) v = s per column.
 
     Each column has its own sources (cells + strengths) and grounds
@@ -1000,6 +1021,11 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
     level IS the f32 (G + diag(g)) operator, so the inner CG runs with
     pen=None and the plain V-cycle preconditioner.  The f64 outer
     residual always applies S64 + pen explicitly either way.
+
+    A_lo: explicit f32 inner operator.  Used by one-to-all, where the
+    hierarchy bakes the SHARED penalty (all focal cells) but each
+    column's exact operator needs its own per-column penalty on the
+    BARE Laplacian — prec.levels[0].A would double-count.
 
     Returns (X (f64 device, (B, H, W)), rel (np, B), iters).
     """
@@ -1036,10 +1062,11 @@ def stencil_solve_advanced_batch(S64: StencilOperator, src_cells, src_vals,
         pen64 = jax.device_put(pen64, sh)
     pen32 = pen64.astype(jnp.float32)
 
-    if prec is not None and getattr(prec, "levels", ()):
-        A_lo = prec.levels[0].A   # f32 fine level (pallas-ready)
-    else:
-        A_lo = _to_dtype(S64, jnp.float32)
+    if A_lo is None:
+        if prec is not None and getattr(prec, "levels", ()):
+            A_lo = prec.levels[0].A   # f32 fine level (pallas-ready)
+        else:
+            A_lo = _to_dtype(S64, jnp.float32)
     bnorm = jnp.sqrt(jnp.sum(B_rhs * B_rhs, axis=(-2, -1)))
     safe_bnorm = np.asarray(jnp.where(bnorm == 0, 1.0, bnorm))
 
