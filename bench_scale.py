@@ -66,10 +66,10 @@ def main():
         "all_finite": finite,
         "chip": "1x TPU v5e (16 GB HBM)",
         "stats": st[1],
-        "note": ("round-4 refresh: device-built operator from the gmap "
-                 "upload + device-derived fine MG level "
-                 "(solve/prepare.py _prepare_large_single) and "
-                 "capacity-modeled chunking; cold includes one-time "
+        "note": ("round-5: the fine level now runs the column-tiled "
+                 "Pallas matvec + fused Chebyshev kernels at W=7040 "
+                 "(solve/pallas_stencil.py, W > 4094 tiling) with the "
+                 "repeat-based prolongation; cold includes one-time "
                  "server-side compiles at this shape"),
     }
     recs = []

@@ -52,7 +52,10 @@ def main():
                                                        supported)
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    for H, W, B in [(1000, 1000, 32), (2000, 2000, 32), (1024, 1024, 8)]:
+    # (7040, 7040, 4) exercises the column-tiled W > 4094 kernel at the
+    # 48M-cell bench shape (VERDICT r4 item 2: real-chip differential)
+    for H, W, B in [(1000, 1000, 32), (2000, 2000, 32), (1024, 1024, 8),
+                    (7040, 7040, 4)]:
         rng = np.random.default_rng(0)
         g = rng.uniform(0.5, 3.0, (H, W))
         g[rng.random((H, W)) < 0.10] = 0.0

@@ -74,15 +74,24 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
     Factorizes n as (rows, cols) with rows the largest power-of-two
     divisor <= sqrt(n), so both the grid-row axis and the RHS batch
-    axis shard."""
+    axis shard.  CS_MESH_SHAPE="R,C" overrides the factorization —
+    capacity-bound jobs want all devices on 'nodes' (R=n, C=1) so the
+    operator's fixed bytes divide by n with no batch-replication."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    rows = 1
-    for r in range(int(math.isqrt(n)), 0, -1):
-        if n % r == 0:
-            rows = r
-            break
-    cols = n // rows
+    env = os.environ.get("CS_MESH_SHAPE")
+    if env:
+        rows, cols = (int(v) for v in env.split(","))
+        if rows * cols != n:
+            raise ValueError(
+                f"CS_MESH_SHAPE={env} does not match {n} devices")
+    else:
+        rows = 1
+        for r in range(int(math.isqrt(n)), 0, -1):
+            if n % r == 0:
+                rows = r
+                break
+        cols = n // rows
     mesh_devs = mesh_utils.create_device_mesh((rows, cols), devs[:n])
     return Mesh(mesh_devs, ("nodes", "batch"))
 

@@ -115,6 +115,48 @@ def _coarsen_planes(we, ws, wse, wne):
     return cE, cS, cSE, cNE
 
 
+def _coarsen_planes_slab(we, ws, wse, wne, first: bool, last: bool):
+    """_coarsen_planes for one even-aligned ROW SLAB of the fine grid.
+
+    Used by the streamed mesh build (solve/prepare.py): each shard's
+    slab coarsens independently so the full fine planes never
+    materialize on the host.  Differences from the full-grid version:
+    row-boundary zeroing applies only at the true grid edges
+    (first/last), and the NE even-even contribution of the slab's FIRST
+    patch row — which belongs to the PREVIOUS slab's last coarse S row
+    — is returned as `carry` instead of being dropped.
+
+    Returns (cE, cS, cSE, cNE, carry) with carry a (wc,) row (zeros
+    when first: the full-grid build drops it there too)."""
+    H, W = we.shape
+    assert H % 2 == 0, "slab height must be even"
+    we, ws, wse, wne = map(_pad_even, (we, ws, wse, wne))
+    H, W = we.shape
+    hc, wc = H // 2, W // 2
+
+    def patch(i_par, j_par, p):
+        return p[i_par::2, j_par::2][:hc, :wc]
+
+    cE = patch(0, 1, we) + patch(1, 1, we) + patch(0, 1, wse) + \
+        patch(1, 1, wne)
+    cS = patch(1, 0, ws) + patch(1, 1, ws) + patch(1, 0, wse)
+    cSE = patch(1, 1, wse).copy()   # patch() returns a view
+    cNE = patch(0, 1, wne).copy()
+    n_up = patch(0, 0, wne)
+    cS[:-1, :] += n_up[1:, :]
+    carry = np.zeros(wc) if first else n_up[0, :].copy()
+
+    cE[:, -1] = 0
+    cSE[:, -1] = 0
+    cNE[:, -1] = 0
+    if last:
+        cS[-1, :] = 0
+        cSE[-1, :] = 0
+    if first:
+        cNE[0, :] = 0
+    return cE, cS, cSE, cNE, carry
+
+
 def _planes_to_operator(we, ws, wse, wne, dtype) -> StencilOperator:
     H, W = we.shape
     diag = np.zeros((H, W))

@@ -55,7 +55,14 @@ def prepare_stencil_solver_from_gmap(gmap, avg_res, four_neighbors,
     gmap = np.asarray(gmap)
     H0, W0 = gmap.shape
     dev_max = int(os.environ.get("CS_DEVICE_MG_MAX", "1200000"))
-    if active_mesh(H0 * W0) is not None:
+    mesh = active_mesh(H0 * W0)
+    if mesh is not None:
+        stream_min = int(os.environ.get("CS_STREAM_BUILD_MIN", "4000000"))
+        if gmap.size > stream_min:
+            # huge mesh grids: shard-local streamed host build — host
+            # RSS scales with cells/shard, not cells (docs/capacity.md)
+            return prepare_stencil_solver_streamed(
+                gmap, avg_res, four_neighbors, mesh, use_mg)
         return prepare_stencil_solver(
             stencil_planes_np(gmap, avg_res, four_neighbors), use_mg)
     if gmap.size > dev_max:
@@ -205,6 +212,152 @@ def _prepare_large_single(gmap, avg_res, four_neighbors, use_mg=True):
         prec_apply = geomg_apply
 
     stats.record(fine_nnz=stencil_activity_stats(g, four_neighbors),
+                 cells=Hp * Wp,
+                 mg_kernels=[_kernel_name(lv)
+                             for lv in getattr(prec, "levels", ())] or
+                            ["xla-jacobi"])
+    return S64, prec, prec_apply, (H0, W0)
+
+
+def _row_sharded_from_slabs(mesh, shape, slabs_of, specs):
+    """Assemble ('nodes', None)-sharded global arrays from per-shard
+    host slabs WITHOUT ever materializing the full arrays on the host.
+
+    slabs_of(k) -> dict name -> numpy slab for row-shard k (rows
+    [k*hs, (k+1)*hs)); specs: [(name, dtype), ...].  Each row-shard is
+    computed ONCE; every addressable device in that row group (batch
+    columns replicate) receives its per-array buffer.  Returns dict
+    name -> global jax array."""
+    sh = NamedSharding(mesh, P("nodes", None))
+    idx_map = sh.addressable_devices_indices_map(shape)
+    hs = shape[0] // mesh.shape["nodes"]
+    by_shard: dict = {}
+    for dev, idx in idx_map.items():
+        by_shard.setdefault((idx[0].start or 0) // hs, []).append(dev)
+    bufs = {name: {} for name, _ in specs}
+    for k in sorted(by_shard):
+        slabs = slabs_of(k)
+        for name, dtype in specs:
+            a = np.ascontiguousarray(slabs[name], dtype)
+            for dev in by_shard[k]:
+                bufs[name][dev] = jax.device_put(a, dev)
+    out = {}
+    dev_order = list(idx_map.keys())
+    for name, _ in specs:
+        out[name] = jax.make_array_from_single_device_arrays(
+            shape, sh, [bufs[name][d] for d in dev_order])
+    return out
+
+
+def prepare_stencil_solver_streamed(gmap, avg_res, four_neighbors,
+                                    mesh, use_mg=True):
+    """Mesh setup with a SHARD-LOCAL host build: each 'nodes' shard's
+    row slab of the weight planes is computed from the corresponding
+    gmap rows (one halo row each side) and shipped straight to its
+    device — the full fine planes never exist host-side.  Host RSS
+    therefore scales with cells/shard + the level-1-and-down pyramid
+    (~1/3 of fine) instead of the ~720 B/cell of the materialized
+    build (BENCH_CAPACITY round 4: 75.7 GB at 105M cells).
+
+    The fine MG level streams the same way (f32 casts of the slabs);
+    level 1 coarsens per slab (geomg._coarsen_planes_slab, with the
+    cross-slab NE carry) into full-but-quarter-size planes, from which
+    the rest of the hierarchy builds exactly as build_geo_mg."""
+    import math
+
+    from ..parallel.mesh import build_shard_stencil
+    from .geomg import (GeoMgHierarchy, GeoMgLevel, _coarsen_planes_slab,
+                        _np_diag, build_geo_mg)
+    from .stencil import stencil_activity_stats, stencil_planes_np
+
+    gmap = np.asarray(gmap, np.float64)
+    H0, W0 = gmap.shape
+    nsh = mesh.shape["nodes"]
+    qh = math.lcm(128, nsh * 8)
+    Hp = -(-H0 // qh) * qh
+    Wp = -(-W0 // 128) * 128
+    hs = Hp // nsh
+
+    def g_rows(r0, r1):
+        """Padded gmap rows [r0, r1) as a fresh (r1-r0, Wp) block."""
+        out = np.zeros((r1 - r0, Wp))
+        lo, hi = max(r0, 0), min(r1, H0)
+        if hi > lo:
+            out[lo - r0:hi - r0, :W0] = np.where(
+                gmap[lo:hi] > 0, gmap[lo:hi], 0.0)
+        return out
+
+    names = ("we", "ws", "wse", "wne", "diag")
+    build_mg = use_mg and Hp * Wp > 4096
+    # level-1 planes accumulate during the same slab sweep
+    hc, wc = Hp // 2, Wp // 2
+    cplanes = [np.zeros((hc, wc)) for _ in range(4)] if build_mg else None
+
+    def slabs_of(k):
+        """All per-shard arrays for rows [k*hs, (k+1)*hs) in one shot."""
+        r0, r1 = k * hs, (k + 1) * hs
+        g = g_rows(r0 - 1, r1 + 1)     # one halo row each side
+        planes = [p[1:-1] for p in
+                  stencil_planes_np(g, avg_res, four_neighbors)]
+        out = dict(zip(names, planes))
+        if build_mg:
+            d = planes[4]
+            out["inv"] = np.where(d > 0,
+                                  1.0 / np.where(d == 0, 1.0, d), 0.0)
+            for i, name in enumerate(names):
+                out[name + "32"] = planes[i]   # cast by spec dtype
+            cE, cS, cSE, cNE, carry = _coarsen_planes_slab(
+                planes[0], planes[1], planes[2], planes[3],
+                first=(k == 0), last=(k == nsh - 1))
+            c0 = k * (hs // 2)
+            cplanes[0][c0:c0 + hs // 2] = cE
+            cplanes[1][c0:c0 + hs // 2] = cS
+            cplanes[2][c0:c0 + hs // 2] = cSE
+            cplanes[3][c0:c0 + hs // 2] = cNE
+            if k > 0:
+                cplanes[1][c0 - 1] += carry
+        return out
+
+    specs = [(n, np.float64) for n in names]
+    if build_mg:
+        specs += [(n + "32", np.float32) for n in names]
+        specs += [("inv", np.float32)]
+    dev = _row_sharded_from_slabs(mesh, (Hp, Wp), slabs_of, specs)
+    S64 = StencilOperator(dev["we"], dev["ws"], dev["wse"],
+                          dev["wne"], dev["diag"])
+
+    prec = prec_apply = None
+    if build_mg:
+        dev32 = {n: dev[n + "32"] for n in names}
+        inv32 = dev["inv"]
+
+        # levels 1..coarse build exactly like the materialized path
+        rest = build_geo_mg(planes_np=tuple(cplanes) +
+                            (_np_diag(*cplanes),))
+        from ..parallel.mesh import shard_hierarchy
+        rest = shard_hierarchy(mesh, rest)
+        fine = GeoMgLevel(
+            StencilOperator(dev32["we"], dev32["ws"], dev32["wse"],
+                            dev32["wne"], dev32["diag"]),
+            inv32, 2.0)
+        prec = GeoMgHierarchy((fine,) + rest.levels, rest.coarse_pinv,
+                              rest.coarse_shape, rest.overcorrect)
+        # fine-level shard_map matvec (halo exchange + per-shard Pallas)
+        ss = build_shard_stencil(mesh, prec.levels[0].A)
+        if ss is not None:
+            lv0 = prec.levels[0]
+            A0 = StencilOperator(lv0.A.we, lv0.A.ws, lv0.A.wse,
+                                 lv0.A.wne, lv0.A.diag, None, ss)
+            prec = GeoMgHierarchy(
+                (GeoMgLevel(A0, lv0.inv_diag, lv0.lam_max),) +
+                prec.levels[1:], prec.coarse_pinv, prec.coarse_shape,
+                prec.overcorrect)
+        prec_apply = geomg_apply
+
+    from .. import stats
+    # activity stats straight off the (unpadded) gmap: padding cells
+    # are inactive and add no edges, so the nnz is identical
+    stats.record(fine_nnz=stencil_activity_stats(gmap, four_neighbors),
                  cells=Hp * Wp,
                  mg_kernels=[_kernel_name(lv)
                              for lv in getattr(prec, "levels", ())] or
