@@ -391,6 +391,72 @@ def main():
                 del os.environ["CS_NETWORK_DIRECT_MAX"]
             _dump(records)
 
+    if "provisioned" in wanted:
+        # VERDICT r4 item 6: measure the PROVISIONED-machine cold start
+        # — caches warm (python -m circuitscape_tpu.warmup has run for
+        # the shape bucket), then a FRESH process runs the job.  Also
+        # records the bare backend-attach time of a fresh process,
+        # which on the axon-tunneled TPU is a floor no cache removes.
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+
+        def _child(code):
+            t0 = time.time()
+            r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                               capture_output=True, text=True)
+            out = (r.stdout.strip().splitlines() or [""])[-1]
+            return time.time() - t0, out, r.returncode
+
+        attach_wall, attach_out, rc = _child(
+            "import time; t0=time.time()\n"
+            "import jax, jax.numpy as jnp\n"
+            "jnp.ones((8,128)).sum().block_until_ready()\n"
+            "print(round(time.time()-t0, 2))")
+        attach_s = float(attach_out) if rc == 0 else None
+        _note(f"backend attach: {attach_s}s")
+
+        for side in sizes:
+            with tempfile.TemporaryDirectory() as d:
+                make_raster(d, rng, side, 32)
+                job = repr({
+                    "data_type": "raster", "scenario": "pairwise",
+                    "habitat_file": f"{d}/cell.npy",
+                    "habitat_map_is_resistances": "False",
+                    "point_file": f"{d}/pts.npy",
+                    "output_file": f"{d}/o.out",
+                    "solver": "cg+amg", "precision": "single",
+                    "suppress_messages": "True",
+                })
+                warm_wall, _, rc1 = _child(
+                    "import sys; sys.path.insert(0, '.')\n"
+                    "from circuitscape_tpu.warmup import warmup\n"
+                    f"print(warmup({job}, points=32))")
+                cold_wall, cold_out, rc2 = _child(
+                    "import sys, time; sys.path.insert(0, '.')\n"
+                    "import circuitscape_tpu as cs\n"
+                    "t0 = time.time()\n"
+                    f"cs.compute(dict({job}))\n"
+                    "print(round(time.time()-t0, 2))")
+                prov = float(cold_out) if rc2 == 0 else None
+                _note(f"provisioned-cold {side}: warmup_wall "
+                      f"{warm_wall:.0f}s, job {prov}s")
+                rec = {"scenario": "provisioned-cold",
+                       "cells": side * side, "points": 32,
+                       "backend_attach_s": attach_s,
+                       "warmup_wall_s": round(warm_wall, 1),
+                       "provisioned_cold_s": prov,
+                       "note": "fresh process after python -m "
+                               "circuitscape_tpu.warmup; includes the "
+                               "process's own backend attach"}
+                if prov and side * side in BASELINES:
+                    rec["baseline_julia_cholmod_s"] = \
+                        BASELINES[side * side][1]
+                    rec["vs_cholmod_provisioned_cold"] = round(
+                        BASELINES[side * side][1] / prov, 2)
+                records.append(rec)
+                _dump(records)
+
     if "spmv" in wanted:
         _note("spmv-kernel")
         records.append(bench_spmv_record())
