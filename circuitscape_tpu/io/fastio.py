@@ -78,15 +78,17 @@ def load():
     return _lib
 
 
-def write_dlm_body(path: str, arr: np.ndarray, delim: str) -> bool:
-    """Whole-file delimited f64 matrix write (17 significant digits —
-    exact double round-trip); True on success."""
+def write_dlm_body(path: str, arr: np.ndarray, delim: str,
+                   digits: int = 17) -> bool:
+    """Whole-file delimited f64 matrix write (`digits` significant
+    digits; 17 = exact double round-trip); True on success."""
     lib = load()
     if lib is None or len(delim) != 1:
         return False
     a = np.ascontiguousarray(arr, np.float64)
     n = lib.csio_write_dlm(path.encode(), a, np.int64(a.shape[0]),
-                           np.int64(a.shape[1]), 17, delim.encode())
+                           np.int64(a.shape[1]), int(digits),
+                           delim.encode())
     return n >= 0
 
 

@@ -81,18 +81,20 @@ def _fmt(v) -> str:
     return repr(fv)
 
 
-def _writedlm(path: str, arr: np.ndarray, delim: str):
+def _writedlm(path: str, arr: np.ndarray, delim: str, digits: int = 17):
     """Julia-writedlm-style text matrix writer.
 
-    Large arrays route through the native formatter (17 significant
-    digits = exact f64 round-trip; integral values print "3" where the
-    Python path prints "3.0" — numerically identical, and network
-    pairwise writes ~190 branch-current files of 4e5 rows each, which
-    the per-value Python formatter turned into minutes)."""
+    Large arrays route through the native formatter (`digits`
+    significant digits; 17 = exact f64 round-trip, 9 = exact f32
+    round-trip for values computed in single precision; integral values
+    print "3" where the Python path prints "3.0" — numerically
+    identical, and network pairwise writes ~190 branch-current files of
+    4e5 rows each, which the per-value Python formatter turned into
+    minutes)."""
     arr2 = np.atleast_2d(np.asarray(arr, np.float64))
     if arr2.size > 20000:
         from .io import fastio
-        if fastio.write_dlm_body(path, arr2, delim):
+        if fastio.write_dlm_body(path, arr2, delim, digits=digits):
             return
     with open(path, "w") as f:
         for row in arr2:
@@ -253,6 +255,9 @@ def _incidence_cached(G: sp.spmatrix):
     return cached
 
 
+_NET_COL_STEP = 32   # columns per postprocess task (bounds temporaries)
+
+
 def network_batch_postprocess(G, lhs, chunk, orig_pts, cc, cum, flags, cfg):
     """Per-pair node/branch current files + cumulative vectors for a
     whole (n, B) network solve block at once.
@@ -274,33 +279,15 @@ def network_batch_postprocess(G, lhs, chunk, orig_pts, cc, cum, flags, cfg):
     rows, cols, vals = _edges_cached(G)
     Ji, Jc = _incidence_cached(G)
     B = len(chunk)
-    # bound the (E, B) temporaries to ~1 GB: recurse over column slabs
-    max_cols = max(1, (1 << 27) // max(rows.size, 1))
-    if B > max_cols:
-        for s in range(0, B, max_cols):
-            network_batch_postprocess(G, lhs[:, s:s + max_cols],
-                                      chunk[s:s + max_cols], orig_pts,
-                                      cc, cum, flags, cfg)
-        return
-    V = np.asarray(lhs[:, :B], np.float64)
-    b = np.abs(vals)[:, None] * (V[rows, :] - V[cols, :])   # (E, B)
-    absb = np.abs(b)
-    maxcur = absb.max(axis=0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = absb / np.where(maxcur == 0, 1.0, maxcur)[None, :]
-    b = np.where(ratio < consts.BRANCH_CURRENT_CUTOFF, 0.0, b)
-    bpos = np.maximum(b, 0.0)
-    bneg = np.maximum(-b, 0.0)
-    # s_pos: b>0 contributes at the column endpoint, b<0 (-b) at the row
-    # endpoint; s_neg is the reverse orientation (out.jl:250-290)
-    s_pos = Jc @ bpos + Ji @ bneg
-    s_neg = Jc @ bneg + Ji @ bpos
-    node_curr = np.maximum(s_pos, s_neg)                    # (n, B)
-
+    # branch arithmetic runs in the SOLVE dtype (f32 for
+    # precision=single): the (E, cols) temporaries halve, and f32
+    # branch values carry ~1e-7 relative error — below the 1e-6 output
+    # filter and far below golden tolerances
+    dt = lhs.dtype if np.dtype(lhs.dtype) in (np.float32, np.float64) \
+        else np.float64
+    valsd = np.abs(np.asarray(vals, dt))
     combo_n = np.asarray([len(c[2]) for c in chunk], np.float64)
 
-    # cumulative vectors: one accumulation per combo (reference
-    # postprocess runs once per user pair), deterministic batch sum
     cache = getattr(G, "_cs_branch_idx_full", None)
     if cache is None:
         coord_index = getattr(cum, "_coord_index", None)
@@ -320,30 +307,67 @@ def network_batch_postprocess(G, lhs, chunk, orig_pts, cc, cum, flags, cfg):
         except AttributeError:
             pass
     tgt, src = cache
-    np.add.at(cum.cum_branch_curr, tgt, np.abs(b[src]) @ combo_n)
-    np.add.at(cum.cum_node_curr, np.asarray(cc, np.int64) - 1,
-              node_curr @ combo_n)
 
     ccf = np.asarray(cc, np.float64)
     erows = ccf[rows]
     ecols = ccf[cols]
+    pref = output_prefix(cfg)
+    # values computed in f32 print at the exact f32 round-trip width
+    # (9 significant digits) — 17-digit text for f32 data is pure bytes
+    _dt_digits = 9 if np.dtype(dt) == np.float32 else 17
 
-    def _write_one(col):
-        node_arr = np.column_stack([ccf, node_curr[:, col]])
-        babs = np.abs(b[:, col])
-        keep = ~np.isclose(babs, 0.0, atol=consts.OUTPUT_ATOL)
-        branch_arr = np.column_stack([erows[keep], ecols[keep],
-                                      babs[keep]])
-        pref = output_prefix(cfg)
-        for (c_i, c_j) in chunk[col][2]:
-            name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
-            _writedlm(f"{pref}_node_currents{name}.txt", node_arr, "\t")
-            _writedlm(f"{pref}_branch_currents{name}.txt", branch_arr,
-                      "\t")
+    def task(s):
+        """Columns [s, s+step): branch values, node currents, per-pair
+        files, and the chunk's cum partials.  Tasks run on the pool —
+        the big numpy ops and the native formatter both release the
+        GIL, so the two host cores stay busy end to end."""
+        cn = combo_n[s:s + _NET_COL_STEP]
+        V = np.asarray(lhs[:, s:s + cn.size], dt)
+        signed = valsd[:, None] * (V[rows, :] - V[cols, :])  # (E, cols)
+        b = np.abs(signed)
+        maxcur = b.max(axis=0)
+        thr = consts.BRANCH_CURRENT_CUTOFF * \
+            np.where(maxcur == 0, 1.0, maxcur)
+        live = (b >= thr[None, :]).astype(dt)   # mask-multiply beats
+        signed *= live                          # boolean fancy-assign
+        b *= live
+        bpos = np.maximum(signed, 0.0)
+        bneg = bpos - signed                    # = max(-signed, 0)
+        # s_pos: b>0 contributes at the column endpoint, b<0 (-b) at
+        # the row endpoint; s_neg is the reverse (out.jl:250-290)
+        s_pos = Jc @ bpos + Ji @ bneg
+        s_neg = Jc @ bneg + Ji @ bpos
+        node_curr = np.maximum(s_pos, s_neg)             # (n, cols)
+        node_arr = np.empty((ccf.size, 2))
+        node_arr[:, 0] = ccf
+        for k in range(cn.size):
+            col = s + k
+            node_arr[:, 1] = node_curr[:, k]
+            babs = b[:, k]
+            keep = np.nonzero(babs > consts.OUTPUT_ATOL)[0]
+            branch_arr = np.empty((keep.size, 3))
+            branch_arr[:, 0] = erows[keep]
+            branch_arr[:, 1] = ecols[keep]
+            branch_arr[:, 2] = babs[keep]
+            for (c_i, c_j) in chunk[col][2]:
+                name = f"_{int(orig_pts[c_i])}_{int(orig_pts[c_j])}"
+                _writedlm(f"{pref}_node_currents{name}.txt", node_arr,
+                          "\t", digits=_dt_digits)
+                _writedlm(f"{pref}_branch_currents{name}.txt",
+                          branch_arr, "\t", digits=_dt_digits)
+        return (np.asarray(b[src] @ cn, np.float64),
+                np.asarray(node_curr @ cn, np.float64))
 
+    starts = list(range(0, B, _NET_COL_STEP))
     with ThreadPoolExecutor(max_workers=max(2, _os_.cpu_count() or 2)) \
             as pool:
-        list(pool.map(_write_one, range(B)))
+        parts = list(pool.map(task, starts))
+    # cumulative vectors: one accumulation per combo (reference
+    # postprocess runs once per user pair); partials accumulate in
+    # submission order — deterministic, lock-free
+    for bw, nw in parts:
+        np.add.at(cum.cum_branch_curr, tgt, bw)
+        np.add.at(cum.cum_node_curr, np.asarray(cc, np.int64) - 1, nw)
 
 
 def create_current_maps(G, voltages, finitegrounds, cfg, nodemap=None,
