@@ -97,8 +97,13 @@ def main():
                  "time is NOT indicative: all shards timeshare 2 "
                  "physical cores."),
     }
+    recs = []
+    if os.path.exists("BENCH_CAPACITY.json"):
+        with open("BENCH_CAPACITY.json") as f:
+            recs = json.load(f)
+    recs.append(rec)
     with open("BENCH_CAPACITY.json", "w") as f:
-        json.dump([rec], f, indent=1)
+        json.dump(recs, f, indent=1)
     print(json.dumps(rec))
 
 
