@@ -311,8 +311,10 @@ def attach_pallas_planes(hier: GeoMgHierarchy) -> GeoMgHierarchy:
     for L in hier.levels:
         A = L.A
         if A.pallas is None and supported(A.shape, 4):
-            A = StencilOperator(A.we, A.ws, A.wse, A.wne, A.diag,
-                                PallasStencil.from_operator(A), A.shard)
+            A = StencilOperator(
+                A.we, A.ws, A.wse, A.wne, A.diag,
+                PallasStencil.from_operator(
+                    A, with_init=A.shape[1] <= 4094), A.shard)
         levels.append(GeoMgLevel(A, L.inv_diag, L.lam_max))
     return GeoMgHierarchy(tuple(levels), hier.coarse_pinv,
                           hier.coarse_shape, hier.overcorrect)
@@ -497,9 +499,12 @@ def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask,
                         1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
         lam = (_lam_device(we, ws, wse, wne, diag, inv)
                if est_mask[lvl] else jnp.asarray(2.0, diag.dtype))
-        pal = (_expand_planes(we, ws, wse, wne, diag)
-               if pal_mask[lvl] else None)
-        out.append((we, ws, wse, wne, diag, inv, pal))
+        pal = pal_init = None
+        if pal_mask[lvl]:
+            from .pallas_stencil import _expand_planes_dinv
+            pal = _expand_planes(we, ws, wse, wne, diag)
+            pal_init = _expand_planes_dinv(we, ws, wse, wne, diag, inv)
+        out.append((we, ws, wse, wne, diag, inv, pal, pal_init))
         lams.append(lam)
         we, ws, wse, wne = _coarsen_planes_jnp(we, ws, wse, wne)
         if pen is not None:
@@ -544,10 +549,10 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
 
     from .pallas_stencil import PallasStencil
     levels = []
-    for (we, ws, wse, wne, diag, inv, pal), lam, (h, w) in zip(
+    for (we, ws, wse, wne, diag, inv, pal, pal_init), lam, (h, w) in zip(
             levels_raw, lams, shapes):
-        pobj = (PallasStencil(pal, H=h, W=w) if pal is not None
-                else None)
+        pobj = (PallasStencil(pal, H=h, W=w, init_planes=pal_init)
+                if pal is not None else None)
         levels.append(GeoMgLevel(
             StencilOperator(we, ws, wse, wne, diag, pobj), inv,
             float(lam)))
@@ -607,6 +612,21 @@ def _cheb_smooth(L: GeoMgLevel, b, x):
     sigma = theta / delta
     rho = 1.0 / sigma
     Dinv = L.inv_diag[None]
+
+    pal0 = getattr(L.A, "pallas", None)
+    if (x is None and CHEB_DEGREE == 2 and pal0 is not None and
+            getattr(pal0, "init_planes", None) is not None):
+        # the whole from-zero degree-2 smoother as ONE Pallas pass
+        # (reads b + premultiplied planes, writes x) when supported
+        from .pallas_stencil import cheb_init_supported, pallas_cheb_init
+        if (cheb_init_supported(pal0.shape, b.shape[0]) and
+                b.dtype == pal0.planes.dtype and
+                b.shape[1:] == tuple(pal0.shape)):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            return pallas_cheb_init(
+                pal0.init_planes, L.inv_diag, b,
+                c=float(1.0 / theta), ca=float(rho_new * rho),
+                cb=float(2.0 * rho_new / delta))
 
     r = b if x is None else b - stencil_matvec(L.A, x)
     d = (1.0 / theta) * (Dinv * r)

@@ -178,27 +178,37 @@ class PallasStencil:
     operands in the pallas_call: the kernel grid spends ~7 us/step of
     fixed bookkeeping that scales with operand count."""
 
-    def __init__(self, planes, H=None, W=None):
+    def __init__(self, planes, H=None, W=None, init_planes=None):
         self.planes = planes          # (9, Hp, Wp), PLANE_ORDER
+        self.init_planes = init_planes   # (9, Hp, Wp) Dinv-premultiplied
         self.H = H if H is not None else planes.shape[1]
         self.W = W if W is not None else planes.shape[2]
 
     def tree_flatten(self):
-        return ((self.planes,), (self.H, self.W))
+        return ((self.planes, self.init_planes), (self.H, self.W))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], H=aux[0], W=aux[1])
+        return cls(children[0], H=aux[0], W=aux[1],
+                   init_planes=children[1])
 
     @property
     def shape(self):
         return (self.H, self.W)
 
     @classmethod
-    def from_operator(cls, S: StencilOperator) -> "PallasStencil":
+    def from_operator(cls, S: StencilOperator,
+                      with_init=False) -> "PallasStencil":
         H, W = S.diag.shape
+        init = None
+        if with_init:
+            inv = jnp.where(S.diag > 0,
+                            1.0 / jnp.where(S.diag == 0, 1.0, S.diag),
+                            0.0)
+            init = _expand_planes_dinv(S.we, S.ws, S.wse, S.wne, S.diag,
+                                       inv)
         return cls(_expand_planes(S.we, S.ws, S.wse, S.wne, S.diag),
-                   H=H, W=W)
+                   H=H, W=W, init_planes=init)
 
 
 PLANE_ORDER = ("we", "we_w", "ws", "ws_up", "wse", "wse_uw",
@@ -375,6 +385,127 @@ def supported(S_shape, B) -> bool:
         return _pick_rows(W) > 0
     # column-tiled kernel: fixed (CROWS, CTILE) footprint, any width
     return True
+
+
+# --- fused from-zero Chebyshev pre-smoother -----------------------------
+#
+# The V-cycle's pre-smooth starts from x = 0:
+#   d1 = (1/theta) Dinv b;  r1 = b - L d1;  x = d1 + ca*d1 + cb*Dinv*r1
+# As XLA + the generic fused step that is a Dinv pass plus a full
+# matvec+update pass over d1.  Keyed on L(Dinv b) being expressible
+# with PRE-MULTIPLIED planes (w~_delta[j] = w_delta[j] * Dinv[j+delta],
+# diag~ = diag*Dinv), the whole pre-smooth becomes ONE pass that reads
+# only b (halo'd), the 9 premultiplied planes, and Dinv, and writes x.
+
+@jax.jit
+def _expand_planes_dinv(we, ws, wse, wne, diag, inv):
+    """The nine output-aligned planes of L premultiplied by the SHIFTED
+    inverse diagonal: stacking[t][j] = plane_t[j] * Dinv[j+delta_t]
+    (diag slot: diag[j]*Dinv[j])."""
+    H, W = diag.shape
+    Hp = pl.cdiv(H, 128) * 128
+    Wp = pl.cdiv(W, CTILE) * CTILE if W > 4094 else W
+
+    def padH(p):
+        return jnp.pad(p, ((0, Hp - H), (0, Wp - W)))
+
+    def up(p):
+        return jnp.concatenate([jnp.zeros_like(p[:1]), p[:-1]], axis=0)
+
+    def dn(p):
+        return jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+
+    def west(p):
+        return jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]],
+                               axis=1)
+
+    def east(p):
+        return jnp.concatenate([p[:, 1:], jnp.zeros_like(p[:, :1])],
+                               axis=1)
+
+    we, ws, wse, wne, diag, inv = map(padH, (we, ws, wse, wne, diag, inv))
+    # neighbor Dinv at the source cell for each term's read offset
+    return jnp.stack([
+        we * east(inv),              # E  reads x[j, +1]
+        west(we) * west(inv),        # W  reads x[j, -1]
+        ws * dn(inv),                # S  reads x[+1, j]
+        up(ws) * up(inv),            # N  reads x[-1, j]
+        wse * dn(east(inv)),         # SE reads x[+1, +1]
+        west(up(wse)) * up(west(inv)),   # NW reads x[-1, -1]
+        wne * up(east(inv)),         # NE reads x[-1, +1]
+        west(dn(wne)) * dn(west(inv)),   # SW reads x[+1, -1]
+        diag * inv,                  # center
+    ])
+
+
+def _cheb_init_kernel(bp_hbm, ps, dinv, x_ref, xs, sem, *, rows, c, ca,
+                      cb):
+    blk = _halo_dma_double_buffered(bp_hbm, xs, sem, rows=rows,
+                                    tiled=False, bblk=BBLK)
+    W = x_ref.shape[2]
+
+    def at(dr, dc):
+        return blk[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
+
+    (wE, wW, wS, wN, wSE, wNW, wNE, wSW, dd) = (ps[t] for t in range(9))
+    b = at(0, 0)
+    # L (Dinv b) via the premultiplied planes
+    ldb = dd[None] * b
+    ldb -= wE[None] * at(0, 1) + wW[None] * at(0, -1)
+    ldb -= wS[None] * at(1, 0) + wN[None] * at(-1, 0)
+    ldb -= wSE[None] * at(1, 1) + wNW[None] * at(-1, -1)
+    ldb -= wNE[None] * at(-1, 1) + wSW[None] * at(1, -1)
+    r1 = b - c * ldb
+    iv = dinv[:][None]
+    x_ref[:] = (1.0 + ca) * c * (iv * b) + cb * (iv * r1)
+
+
+def cheb_init_supported(S_shape, B) -> bool:
+    H, W = S_shape
+    return (H >= 64 and B % BBLK == 0 and W <= 4094 and
+            _pick_rows(W) > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "ca", "cb",
+                                             "interpret"))
+def pallas_cheb_init(init_planes: jnp.ndarray, dinv: jnp.ndarray,
+                     b: jnp.ndarray, c: float, ca: float, cb: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Degree-2 Chebyshev smoother from x = 0 in ONE pass: returns
+    x = (1+ca)*c*Dinv b + cb*Dinv (b - c*L Dinv b)."""
+    B, H, W = b.shape
+    Hp, Wplanes = init_planes.shape[1:]
+    zero = np.int32(0)
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    rows = _pick_rows(W)
+    bp = jnp.pad(b, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, Wplanes - W)))
+    grid = (Hp // rows, B // BBLK)
+    planes_spec = pl.BlockSpec((9, rows, W),
+                               lambda i, j: (zero, i, zero),
+                               memory_space=pltpu.VMEM)
+    dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                            memory_space=pltpu.VMEM)
+    x = pl.pallas_call(
+        functools.partial(_cheb_init_kernel, rows=rows, c=c, ca=ca,
+                          cb=cb),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), b.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # b, manual halo DMA
+            planes_spec,
+            dinv_spec,
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, BBLK, rows + 16, Wp2), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bp, init_planes, dinv_p)
+    return x[:, :H, :W]
 
 
 # --- fused residual + restrict ------------------------------------------
