@@ -133,6 +133,19 @@ def main():
                   "fine_spmv_pct_of_hbm_roofline", "mg_kernels"):
             if k in st:
                 result[k] = st[k]
+        # per-level V-cycle decomposition from the latest bench_vcycle
+        # run, when present (the in-solve levels can't be timed from
+        # inside one jitted while_loop; bench_vcycle.py measures each
+        # level's marginal cost with in-jit loops on the same chip)
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_VCYCLE.json")) as f:
+                vc = json.load(f)
+            result["vcycle_profile_ms"] = {
+                k: vc[k] for k in sorted(vc)
+                if k.startswith("vcycle") or k == "cg_body_ms"}
+        except Exception:
+            pass
         # golden-subset replay on the real backend (opt out: CS_TPU_GOLDEN=0)
         if os.environ.get("CS_TPU_GOLDEN", "1") != "0":
             try:

@@ -346,8 +346,17 @@ def prepare_stencil_solver_streamed(gmap, avg_res, four_neighbors,
         ss = build_shard_stencil(mesh, prec.levels[0].A)
         if ss is not None:
             lv0 = prec.levels[0]
-            A0 = StencilOperator(lv0.A.we, lv0.A.ws, lv0.A.wse,
-                                 lv0.A.wne, lv0.A.diag, None, ss)
+            import os as _os2
+            if _os2.environ.get("CS_KEEP_FINE_PLANES"):
+                w4 = (lv0.A.we, lv0.A.ws, lv0.A.wse, lv0.A.wne)
+            else:
+                # the shard matvec reads ss.ext, never the plain fine
+                # weight planes — tiny placeholders reclaim ~16 B/cell
+                # of (virtual-mesh) memory; diag stays (shape checks +
+                # preconditioner fallbacks read it)
+                z = jnp.zeros((1, 1), lv0.A.diag.dtype)
+                w4 = (z, z, z, z)
+            A0 = StencilOperator(*w4, lv0.A.diag, None, ss)
             prec = GeoMgHierarchy(
                 (GeoMgLevel(A0, lv0.inv_diag, lv0.lam_max),) +
                 prec.levels[1:], prec.coarse_pinv, prec.coarse_shape,
