@@ -628,6 +628,24 @@ def _cheb_smooth(L: GeoMgLevel, b, x):
                 c=float(1.0 / theta), ca=float(rho_new * rho),
                 cb=float(2.0 * rho_new / delta))
 
+    if (x is not None and CHEB_DEGREE == 2 and pal0 is not None and
+            getattr(pal0, "init_planes", None) is not None):
+        # warm (post-)smoother as two fused passes: residual+init, then
+        # the premultiplied-plane finish (pallas_stencil.py)
+        from .pallas_stencil import (pallas_cheb_finish,
+                                     pallas_residual_init,
+                                     warm_smooth_supported)
+        if (warm_smooth_supported(pal0.shape, b.shape[0]) and
+                b.dtype == pal0.planes.dtype and
+                b.shape[1:] == tuple(pal0.shape)):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r0, x1 = pallas_residual_init(pal0, L.inv_diag, b, x,
+                                          c=float(1.0 / theta))
+            return pallas_cheb_finish(
+                pal0.init_planes, L.inv_diag, r0, x1,
+                c=float(1.0 / theta), ca=float(rho_new * rho),
+                cb=float(2.0 * rho_new / delta))
+
     r = b if x is None else b - stencil_matvec(L.A, x)
     d = (1.0 / theta) * (Dinv * r)
     x = d if x is None else x + d

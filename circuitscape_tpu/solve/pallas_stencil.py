@@ -508,6 +508,155 @@ def pallas_cheb_init(init_planes: jnp.ndarray, dinv: jnp.ndarray,
     return x[:, :H, :W]
 
 
+# --- fused warm (post-)smoother: two passes ------------------------------
+#
+# The degree-2 smoother FROM x (the V-cycle post-smooth) needs two
+# stencil applications (r0 = b - L x, then L d1).  Two fused passes:
+#   pass 1 (residual+init): r0 = b - L x;  x1 = x + c*Dinv*r0
+#   pass 2 (finish):        r1 = r0 - c*L(Dinv r0)   [premult planes]
+#                           x2 = x1 + ca*c*Dinv*r0 + cb*Dinv*r1
+# replacing a matvec + subtract + the generic 3-in/3-out fused step
+# (4.3 ms -> ~2.5 ms at 1M x 32).
+
+def _smooth_rows(W: int) -> int:
+    """Row-slab height for the two warm-smoother kernels (0 = no fit);
+    sized for the heavier pass (9 planes + 2 streamed ins + 2 outs)."""
+    Wp2 = -(-(W + 2) // 128) * 128
+    for rows in (64, 32, 16):
+        vmem = (9 * 2 * rows * W * 4 +               # plane blocks
+                2 * 2 * rows * W * 4 +               # dinv + b/x1 in
+                2 * 2 * BBLK * rows * W * 4 +        # two out streams
+                2 * BBLK * (rows + 16) * Wp2 * 4 +   # halo scratch x2
+                5 * BBLK * rows * W * 4)             # compute temps
+        if vmem <= 8 * 2**20:
+            return rows
+    return 0
+
+
+def warm_smooth_supported(S_shape, B) -> bool:
+    H, W = S_shape
+    return (H >= 64 and B % BBLK == 0 and W <= 4094 and
+            _smooth_rows(W) > 0)
+
+
+def _res_init_kernel(xp_hbm, b_ref, ps, dinv, r_ref, x1_ref, xs, sem, *,
+                     rows, c):
+    blk = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
+                                    tiled=False, bblk=BBLK)
+    W = r_ref.shape[2]
+
+    def at(dr, dc):
+        return blk[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
+
+    (we, we_w, ws, ws_up, wse, wse_uw, wne, wne_dw, diag) = (
+        ps[t] for t in range(9))
+    x = at(0, 0)
+    y = diag[None] * x
+    y -= we[None] * at(0, 1) + we_w[None] * at(0, -1)
+    y -= ws[None] * at(1, 0) + ws_up[None] * at(-1, 0)
+    y -= wse[None] * at(1, 1) + wse_uw[None] * at(-1, -1)
+    y -= wne[None] * at(-1, 1) + wne_dw[None] * at(1, -1)
+    r = b_ref[:] - y
+    r_ref[:] = r
+    x1_ref[:] = x + c * (dinv[:][None] * r)
+
+
+def _cheb_fin_kernel(rp_hbm, x1_ref, ps, dinv, x2_ref, xs, sem, *,
+                     rows, c, ca, cb):
+    blk = _halo_dma_double_buffered(rp_hbm, xs, sem, rows=rows,
+                                    tiled=False, bblk=BBLK)
+    W = x2_ref.shape[2]
+
+    def at(dr, dc):
+        return blk[:, 8 + dr:8 + dr + rows, 1 + dc:1 + dc + W]
+
+    (wE, wW, wS, wN, wSE, wNW, wNE, wSW, dd) = (ps[t] for t in range(9))
+    r0 = at(0, 0)
+    ldr = dd[None] * r0
+    ldr -= wE[None] * at(0, 1) + wW[None] * at(0, -1)
+    ldr -= wS[None] * at(1, 0) + wN[None] * at(-1, 0)
+    ldr -= wSE[None] * at(1, 1) + wNW[None] * at(-1, -1)
+    ldr -= wNE[None] * at(-1, 1) + wSW[None] * at(1, -1)
+    r1 = r0 - c * ldr
+    iv = dinv[:][None]
+    x2_ref[:] = x1_ref[:] + ca * c * (iv * r0) + cb * (iv * r1)
+
+
+def _warm_specs(P, shape3, rows):
+    B, H, W = shape3
+    Hp = P.planes.shape[1]
+    zero = np.int32(0)
+    planes_spec = pl.BlockSpec((9, rows, W),
+                               lambda i, j: (zero, i, zero),
+                               memory_space=pltpu.VMEM)
+    dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
+                             memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                           memory_space=pltpu.VMEM)
+    return Hp, planes_spec, dinv_spec, io_spec
+
+
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def pallas_residual_init(P: PallasStencil, dinv, b, x, c: float,
+                         interpret: bool = False):
+    """(b - L x, x + c*Dinv*(b - L x)) in one pass."""
+    B, H, W = x.shape
+    rows = _smooth_rows(W)
+    Hp, planes_spec, dinv_spec, io_spec = _warm_specs(P, x.shape, rows)
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    bp = jnp.pad(b, ((0, 0), (0, Hp - H), (0, 0)))
+    dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, 0)))
+    out_sh = jax.ShapeDtypeStruct((B, Hp, W), x.dtype)
+    r, x1 = pl.pallas_call(
+        functools.partial(_res_init_kernel, rows=rows, c=c),
+        out_shape=(out_sh, out_sh),
+        grid=(Hp // rows, B // BBLK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), io_spec,
+                  planes_spec, dinv_spec],
+        out_specs=(io_spec, io_spec),
+        scratch_shapes=[pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp, bp, P.planes, dinv_p)
+    return r[:, :H, :W], x1[:, :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("c", "ca", "cb",
+                                             "interpret"))
+def pallas_cheb_finish(init_planes, dinv, r0, x1, c: float, ca: float,
+                       cb: float, interpret: bool = False):
+    """x1 + ca*c*Dinv*r0 + cb*Dinv*(r0 - c*L(Dinv r0)) in one pass."""
+    B, H, W = r0.shape
+    rows = _smooth_rows(W)
+    Hp = init_planes.shape[1]
+    zero = np.int32(0)
+    planes_spec = pl.BlockSpec((9, rows, W),
+                               lambda i, j: (zero, i, zero),
+                               memory_space=pltpu.VMEM)
+    dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
+                             memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+                           memory_space=pltpu.VMEM)
+    Wp2 = pl.cdiv(W + 2, 128) * 128
+    rp = jnp.pad(r0, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
+    x1p = jnp.pad(x1, ((0, 0), (0, Hp - H), (0, 0)))
+    dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, 0)))
+    x2 = pl.pallas_call(
+        functools.partial(_cheb_fin_kernel, rows=rows, c=c, ca=ca,
+                          cb=cb),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), r0.dtype),
+        grid=(Hp // rows, B // BBLK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), io_spec,
+                  planes_spec, dinv_spec],
+        out_specs=io_spec,
+        scratch_shapes=[pltpu.VMEM((2, BBLK, rows + 16, Wp2), r0.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(rp, x1p, init_planes, dinv_p)
+    return x2[:, :H, :W]
+
+
 # --- fused residual + restrict ------------------------------------------
 #
 # The V-cycle's pre-smooth residual exists only to be restricted:
