@@ -16,7 +16,7 @@ meet the reference's double-precision tolerance even though the CG
 iterations execute in f32 on the MXU/VPU.
 
 Sizes/scenarios filter via env: CS_SUITE_SIZES="1000,2450,3465",
-CS_SUITE_SCENARIOS="shortcut,maps,onetoall,advanced,network,spmv".
+CS_SUITE_SCENARIOS="shortcut,maps,onetoall,advanced,network,provisioned,spmv".
 Writes BENCH_SUITE.json.
 """
 
@@ -167,7 +167,7 @@ def main():
         "CS_SUITE_SIZES", "1000,2450,3465").split(",") if s]
     wanted = set(os.environ.get(
         "CS_SUITE_SCENARIOS",
-        "shortcut,maps,cholmod,onetoall,advanced,network,spmv").split(","))
+        "shortcut,maps,cholmod,onetoall,advanced,network,provisioned,spmv").split(","))
     rng = np.random.default_rng(42)
     records = []
     if os.environ.get("CS_SUITE_APPEND") and os.path.exists(

@@ -241,17 +241,20 @@ def single_ground_all_pairs(prob: GraphProblem, flags, cfg, log=True):
         if pair_list:
             n_local = matrix.shape[0]
             batch = (prob.solver.batch_size or len(pair_list))
-            with CSTIMER("solve and accumulate pairs"):
+            if True:   # (timer moved to the solve call: postprocess
+                # has its own sections, so the stage split can't
+                # double-count)
                 for st in range(0, len(pair_list), batch):
                     chunk = pair_list[st:st + batch]
                     rhs = np.zeros((n_local, len(chunk)), dtype)
                     for col, (ci, cj, _) in enumerate(chunk):
                         rhs[ci, col] = -1
                         rhs[cj, col] = 1
-                    lhs = ctx.solve(rhs)
-                    # normalize to the source node (src/core.jl:466-472)
-                    lhs = lhs - lhs[[ci for ci, _, _ in chunk],
-                                    range(len(chunk))][None, :]
+                    with CSTIMER("solve and accumulate pairs"):
+                        lhs = ctx.solve(rhs)
+                        # normalize to the source (src/core.jl:466-472)
+                        lhs = lhs - lhs[[ci for ci, _, _ in chunk],
+                                        range(len(chunk))][None, :]
                     # network currents: all columns at once (vectorized
                     # branch/node currents + pooled file writes) instead
                     # of one postprocess per pair — the per-pair scatter
