@@ -40,7 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import StencilOperator
 
-BBLK = 4     # batch columns per grid step
+BBLK = 4     # batch columns per grid step (VMEM budgets assume this)
+
+
+def _bblk_for(B: int) -> int:
+    """Batch columns per grid step for a batch of B: 4 when it divides,
+    else the largest of 2/1 that does.  Capacity-limited chunked jobs
+    run B=1 (e.g. the 48M-cell single-chip row), and a hard
+    B %% 4 == 0 gate silently dropped them to the XLA matvec."""
+    for c in (4, 2, 1):
+        if B % c == 0:
+            return c
+    return 1
 
 # Wide grids (W > 4094) tile the column dimension: fixed (rows, ctile)
 # whose VMEM footprint is W-independent.  Each column tile DMAs a
@@ -145,9 +156,9 @@ def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
     return xs[slot]
 
 
-def _kernel(xp_hbm, ps, y_ref, xs, sem, *, rows, tiled):
+def _kernel(xp_hbm, ps, y_ref, xs, sem, *, rows, tiled, bblk=BBLK):
     b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
-                                  tiled=tiled, bblk=BBLK)
+                                  tiled=tiled, bblk=bblk)
     # b: (BBLK, rows+16, Wp2 | CTILE+256); ps: (9, rows, W) stacked
     # planes in PLANE_ORDER — one operand instead of nine keeps the
     # per-grid-step descriptor work off the critical path
@@ -379,7 +390,7 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
 
 def supported(S_shape, B) -> bool:
     H, W = S_shape
-    if H < 64 or B % BBLK != 0:
+    if H < 64 or B < 1:
         return False
     if W <= 4094:
         return _pick_rows(W) > 0
@@ -439,9 +450,9 @@ def _expand_planes_dinv(we, ws, wse, wne, diag, inv):
 
 
 def _cheb_init_kernel(bp_hbm, ps, dinv, x_ref, xs, sem, *, rows, c, ca,
-                      cb):
+                      cb, bblk=BBLK):
     blk = _halo_dma_double_buffered(bp_hbm, xs, sem, rows=rows,
-                                    tiled=False, bblk=BBLK)
+                                    tiled=False, bblk=bblk)
     W = x_ref.shape[2]
 
     def at(dr, dc):
@@ -462,8 +473,7 @@ def _cheb_init_kernel(bp_hbm, ps, dinv, x_ref, xs, sem, *, rows, c, ca,
 
 def cheb_init_supported(S_shape, B) -> bool:
     H, W = S_shape
-    return (H >= 64 and B % BBLK == 0 and W <= 4094 and
-            _pick_rows(W) > 0)
+    return (H >= 64 and B >= 1 and W <= 4094 and _pick_rows(W) > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("c", "ca", "cb",
@@ -480,17 +490,18 @@ def pallas_cheb_init(init_planes: jnp.ndarray, dinv: jnp.ndarray,
     rows = _pick_rows(W)
     bp = jnp.pad(b, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
     dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, Wplanes - W)))
-    grid = (Hp // rows, B // BBLK)
+    bblk = _bblk_for(B)
+    grid = (Hp // rows, B // bblk)
     planes_spec = pl.BlockSpec((9, rows, W),
                                lambda i, j: (zero, i, zero),
                                memory_space=pltpu.VMEM)
     dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+    out_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                             memory_space=pltpu.VMEM)
     x = pl.pallas_call(
         functools.partial(_cheb_init_kernel, rows=rows, c=c, ca=ca,
-                          cb=cb),
+                          cb=cb, bblk=bblk),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W), b.dtype),
         grid=grid,
         in_specs=[
@@ -500,7 +511,7 @@ def pallas_cheb_init(init_planes: jnp.ndarray, dinv: jnp.ndarray,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, BBLK, rows + 16, Wp2), b.dtype),
+            pltpu.VMEM((2, bblk, rows + 16, Wp2), b.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -535,14 +546,13 @@ def _smooth_rows(W: int) -> int:
 
 def warm_smooth_supported(S_shape, B) -> bool:
     H, W = S_shape
-    return (H >= 64 and B % BBLK == 0 and W <= 4094 and
-            _smooth_rows(W) > 0)
+    return (H >= 64 and B >= 1 and W <= 4094 and _smooth_rows(W) > 0)
 
 
 def _res_init_kernel(xp_hbm, b_ref, ps, dinv, r_ref, x1_ref, xs, sem, *,
-                     rows, c):
+                     rows, c, bblk=BBLK):
     blk = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
-                                    tiled=False, bblk=BBLK)
+                                    tiled=False, bblk=bblk)
     W = r_ref.shape[2]
 
     def at(dr, dc):
@@ -562,9 +572,9 @@ def _res_init_kernel(xp_hbm, b_ref, ps, dinv, r_ref, x1_ref, xs, sem, *,
 
 
 def _cheb_fin_kernel(rp_hbm, x1_ref, ps, dinv, x2_ref, xs, sem, *,
-                     rows, c, ca, cb):
+                     rows, c, ca, cb, bblk=BBLK):
     blk = _halo_dma_double_buffered(rp_hbm, xs, sem, rows=rows,
-                                    tiled=False, bblk=BBLK)
+                                    tiled=False, bblk=bblk)
     W = x2_ref.shape[2]
 
     def at(dr, dc):
@@ -582,7 +592,7 @@ def _cheb_fin_kernel(rp_hbm, x1_ref, ps, dinv, x2_ref, xs, sem, *,
     x2_ref[:] = x1_ref[:] + ca * c * (iv * r0) + cb * (iv * r1)
 
 
-def _warm_specs(P, shape3, rows):
+def _warm_specs(P, shape3, rows, bblk):
     B, H, W = shape3
     Hp = P.planes.shape[1]
     zero = np.int32(0)
@@ -591,7 +601,7 @@ def _warm_specs(P, shape3, rows):
                                memory_space=pltpu.VMEM)
     dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
                              memory_space=pltpu.VMEM)
-    io_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+    io_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                            memory_space=pltpu.VMEM)
     return Hp, planes_spec, dinv_spec, io_spec
 
@@ -602,20 +612,22 @@ def pallas_residual_init(P: PallasStencil, dinv, b, x, c: float,
     """(b - L x, x + c*Dinv*(b - L x)) in one pass."""
     B, H, W = x.shape
     rows = _smooth_rows(W)
-    Hp, planes_spec, dinv_spec, io_spec = _warm_specs(P, x.shape, rows)
+    bblk = _bblk_for(B)
+    Hp, planes_spec, dinv_spec, io_spec = _warm_specs(P, x.shape, rows,
+                                                      bblk)
     Wp2 = pl.cdiv(W + 2, 128) * 128
     xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
     bp = jnp.pad(b, ((0, 0), (0, Hp - H), (0, 0)))
     dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, 0)))
     out_sh = jax.ShapeDtypeStruct((B, Hp, W), x.dtype)
     r, x1 = pl.pallas_call(
-        functools.partial(_res_init_kernel, rows=rows, c=c),
+        functools.partial(_res_init_kernel, rows=rows, c=c, bblk=bblk),
         out_shape=(out_sh, out_sh),
-        grid=(Hp // rows, B // BBLK),
+        grid=(Hp // rows, B // bblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), io_spec,
                   planes_spec, dinv_spec],
         out_specs=(io_spec, io_spec),
-        scratch_shapes=[pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, bblk, rows + 16, Wp2), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp, bp, P.planes, dinv_p)
@@ -629,6 +641,7 @@ def pallas_cheb_finish(init_planes, dinv, r0, x1, c: float, ca: float,
     """x1 + ca*c*Dinv*r0 + cb*Dinv*(r0 - c*L(Dinv r0)) in one pass."""
     B, H, W = r0.shape
     rows = _smooth_rows(W)
+    bblk = _bblk_for(B)
     Hp = init_planes.shape[1]
     zero = np.int32(0)
     planes_spec = pl.BlockSpec((9, rows, W),
@@ -636,7 +649,7 @@ def pallas_cheb_finish(init_planes, dinv, r0, x1, c: float, ca: float,
                                memory_space=pltpu.VMEM)
     dinv_spec = pl.BlockSpec((rows, W), lambda i, j: (i, zero),
                              memory_space=pltpu.VMEM)
-    io_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+    io_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                            memory_space=pltpu.VMEM)
     Wp2 = pl.cdiv(W + 2, 128) * 128
     rp = jnp.pad(r0, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
@@ -644,13 +657,13 @@ def pallas_cheb_finish(init_planes, dinv, r0, x1, c: float, ca: float,
     dinv_p = jnp.pad(dinv, ((0, Hp - H), (0, 0)))
     x2 = pl.pallas_call(
         functools.partial(_cheb_fin_kernel, rows=rows, c=c, ca=ca,
-                          cb=cb),
+                          cb=cb, bblk=bblk),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W), r0.dtype),
-        grid=(Hp // rows, B // BBLK),
+        grid=(Hp // rows, B // bblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), io_spec,
                   planes_spec, dinv_spec],
         out_specs=io_spec,
-        scratch_shapes=[pltpu.VMEM((2, BBLK, rows + 16, Wp2), r0.dtype),
+        scratch_shapes=[pltpu.VMEM((2, bblk, rows + 16, Wp2), r0.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(rp, x1p, init_planes, dinv_p)
@@ -683,14 +696,14 @@ def _rr_rows(W: int) -> int:
 
 def rr_supported(S_shape, B) -> bool:
     H, W = S_shape
-    return (H >= 64 and B % BBLK == 0 and H % 2 == 0 and
+    return (H >= 64 and B >= 1 and H % 2 == 0 and
             W % 256 == 0 and W <= 4094 and _rr_rows(W) > 0)
 
 
 def _rr_kernel(xp_hbm, b_ref, ps, ec_ref, er_ref, rc_ref, xs, sem, *,
-               rows):
+               rows, bblk=BBLK):
     blk = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
-                                    tiled=False, bblk=BBLK)
+                                    tiled=False, bblk=bblk)
     W = b_ref.shape[2]
 
     def at(dr, dc):
@@ -736,7 +749,8 @@ def pallas_residual_restrict(P: PallasStencil, b: jnp.ndarray,
     rows = _rr_rows(W)
     xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
     bp = jnp.pad(b, ((0, 0), (0, Hp - H), (0, 0)))
-    grid = (Hp // rows, B // BBLK)
+    bblk = _bblk_for(B)
+    grid = (Hp // rows, B // bblk)
     # 0/1 pair-sum selectors (see _rr_kernel)
     ec = jnp.zeros((256, 128), x.dtype).at[
         jnp.arange(256), jnp.arange(256) // 2].set(1.0)
@@ -745,17 +759,17 @@ def pallas_residual_restrict(P: PallasStencil, b: jnp.ndarray,
     planes_spec = pl.BlockSpec((9, rows, W),
                                lambda i, j: (zero, i, zero),
                                memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+    b_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                           memory_space=pltpu.VMEM)
     ec_spec = pl.BlockSpec((256, 128), lambda i, j: (zero, zero),
                            memory_space=pltpu.VMEM)
     er_spec = pl.BlockSpec((rows // 2, rows), lambda i, j: (zero, zero),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BBLK, rows // 2, W // 2),
+    out_spec = pl.BlockSpec((bblk, rows // 2, W // 2),
                             lambda i, j: (j, i, zero),
                             memory_space=pltpu.VMEM)
     rc = pl.pallas_call(
-        functools.partial(_rr_kernel, rows=rows),
+        functools.partial(_rr_kernel, rows=rows, bblk=bblk),
         out_shape=jax.ShapeDtypeStruct((B, Hp // 2, W // 2), x.dtype),
         grid=grid,
         in_specs=[
@@ -767,7 +781,7 @@ def pallas_residual_restrict(P: PallasStencil, b: jnp.ndarray,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+            pltpu.VMEM((2, bblk, rows + 16, Wp2), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -782,9 +796,10 @@ def pallas_residual_restrict(P: PallasStencil, b: jnp.ndarray,
 # the matvec kernel also emits per-(slab, batch-block) partial dots,
 # reduced by a tiny XLA sum over the slab axis.
 
-def _mv_dot_kernel(xp_hbm, ps, y_ref, pp_ref, xs, sem, *, rows, tiled):
+def _mv_dot_kernel(xp_hbm, ps, y_ref, pp_ref, xs, sem, *, rows, tiled,
+                   bblk=BBLK):
     b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
-                                  tiled=tiled, bblk=BBLK)
+                                  tiled=tiled, bblk=bblk)
     W = y_ref.shape[2]
     choff = 128 if tiled else 1
 
@@ -803,13 +818,17 @@ def _mv_dot_kernel(xp_hbm, ps, y_ref, pp_ref, xs, sem, *, rows, tiled):
     # per-step partials land in an (8, 128) tile-aligned slot per grid
     # step (sub-tile dynamic stores crash the Mosaic layout pass); the
     # caller sums slots and strips the padding
-    # keep every intermediate >= 2D (1D values crash Mosaic's layout
-    # pass — including multi-axis reductions, which produce one
-    # internally): reduce one axis at a time, partials land at rows
-    # 0..BBLK-1, lane 0 of the slot
-    s = jnp.sum(y * xc, axis=2)                       # (BBLK, rows)
-    vec = jnp.sum(s, axis=1, keepdims=True)           # (BBLK, 1)
-    pp_ref[:] = jnp.pad(vec, ((0, 8 - BBLK), (0, 127)))
+    # keep every intermediate a plain 2D tile (1D values and small
+    # (bblk, N) shapes crash or mis-relayout Mosaic's layout pass):
+    # reduce each batch slice separately to a (1, 1); partials land at
+    # rows 0..bblk-1, lane 0 of the slot
+    prod = y * xc
+    acc = jnp.zeros((8, 128), y.dtype)
+    for k in range(prod.shape[0]):
+        t = jnp.sum(prod[k], axis=1, keepdims=True)   # (rows, 1)
+        t = jnp.sum(t, axis=0, keepdims=True)         # (1, 1)
+        acc = acc + jnp.pad(t, ((k, 7 - k), (0, 127)))
+    pp_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -822,19 +841,21 @@ def pallas_matvec_pap(P: PallasStencil, x: jnp.ndarray,
     zero = np.int32(0)
     Wp2 = pl.cdiv(W + 2, 128) * 128
     rows = _pick_rows(W)
+    bblk = _bblk_for(B)
     xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
-    grid = (Hp // rows, B // BBLK)
+    grid = (Hp // rows, B // bblk)
     planes_spec = pl.BlockSpec((9, rows, W),
                                lambda i, j: (zero, i, zero),
                                memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+    out_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                             memory_space=pltpu.VMEM)
     n_i = Hp // rows
-    n_j = B // BBLK
+    n_j = B // bblk
     pp_spec = pl.BlockSpec((8, 128), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
     y, pp = pl.pallas_call(
-        functools.partial(_mv_dot_kernel, rows=rows, tiled=False),
+        functools.partial(_mv_dot_kernel, rows=rows, tiled=False,
+                          bblk=bblk),
         out_shape=(jax.ShapeDtypeStruct((B, Hp, W), x.dtype),
                    jax.ShapeDtypeStruct((n_i * 8, n_j * 128), x.dtype)),
         grid=grid,
@@ -844,13 +865,13 @@ def pallas_matvec_pap(P: PallasStencil, x: jnp.ndarray,
         ],
         out_specs=(out_spec, pp_spec),
         scratch_shapes=[
-            pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype),
+            pltpu.VMEM((2, bblk, rows + 16, Wp2), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, P.planes)
-    # slot (i, j) holds its partials at rows 0..BBLK-1, lane 0
-    parts = pp.reshape(n_i, 8, n_j, 128)[:, :BBLK, :, 0]   # (n_i, BBLK, n_j)
+    # slot (i, j) holds its partials at rows 0..bblk-1, lane 0
+    parts = pp.reshape(n_i, 8, n_j, 128)[:, :bblk, :, 0]   # (n_i, bblk, n_j)
     return y[:, :H, :W], parts.sum(axis=0).T.reshape(B)
 
 
@@ -860,6 +881,7 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
     """y = L x for x (B, H, W) using the fused Pallas kernel."""
     B, H, W = x.shape
     Hp, Wplanes = P.planes.shape[1:]
+    bblk = _bblk_for(B)
 
     # index maps return int32 explicitly: under x64 a python `0` would
     # become an i64 constant, which Mosaic cannot legalize
@@ -872,14 +894,14 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         rows = CROWS
         Wp = Wplanes                       # CTILE multiple (expand)
         xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
-        grid = (Hp // rows, Wp // CTILE, B // BBLK)
+        grid = (Hp // rows, Wp // CTILE, B // bblk)
         planes_spec = pl.BlockSpec((9, rows, CTILE),
                                    lambda i, k, j: (zero, i, k),
                                    memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((BBLK, rows, CTILE),
+        out_spec = pl.BlockSpec((bblk, rows, CTILE),
                                 lambda i, k, j: (j, i, k),
                                 memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((2, BBLK, rows + 16, CTILE + 256), x.dtype)
+        scratch = pltpu.VMEM((2, bblk, rows + 16, CTILE + 256), x.dtype)
         out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), x.dtype)
         tiled = True
     else:
@@ -890,18 +912,18 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         Wp2 = pl.cdiv(W + 2, 128) * 128
         rows = _pick_rows(W)
         xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (1, Wp2 - W - 1)))
-        grid = (Hp // rows, B // BBLK)
+        grid = (Hp // rows, B // bblk)
         planes_spec = pl.BlockSpec((9, rows, W),
                                    lambda i, j: (zero, i, zero),
                                    memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((BBLK, rows, W), lambda i, j: (j, i, zero),
+        out_spec = pl.BlockSpec((bblk, rows, W), lambda i, j: (j, i, zero),
                                 memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((2, BBLK, rows + 16, Wp2), x.dtype)
+        scratch = pltpu.VMEM((2, bblk, rows + 16, Wp2), x.dtype)
         out_shape = jax.ShapeDtypeStruct((B, Hp, W), x.dtype)
         tiled = False
 
     y = pl.pallas_call(
-        functools.partial(_kernel, rows=rows, tiled=tiled),
+        functools.partial(_kernel, rows=rows, tiled=tiled, bblk=bblk),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
