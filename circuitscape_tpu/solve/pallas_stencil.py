@@ -55,10 +55,25 @@ def _bblk_for(B: int) -> int:
 
 # Wide grids (W > 4094) tile the column dimension: fixed (rows, ctile)
 # whose VMEM footprint is W-independent.  Each column tile DMAs a
-# 128-lane-aligned superset of its +-1 column halo (offset k*CTILE,
-# width CTILE+256), so every neighbor read stays a static slice.
+# 128-lane-aligned superset of its +-1 column halo (offset k*ctile,
+# width ctile+256), so every neighbor read stays a static slice.
 CTILE = 2048
 CROWS = 16
+
+
+def _ctile_for(W: int) -> int:
+    """Column tile for a wide (W > 4094) grid: the largest 128-multiple
+    <= CTILE that divides the 128-padded width EXACTLY, if one exists
+    >= 512 — zero column padding (a fixed 2048 tile padded W=7040 to
+    8192, and the +16%% on every padded temporary inside the CG loop
+    tipped the 48M-cell single-chip job out of HBM).  Falls back to
+    CTILE (with padding) when no such divisor exists."""
+    w128 = -(-W // 128) * 128
+    n = w128 // 128
+    for t in range(min(n, CTILE // 128), 3, -1):
+        if n % t == 0:
+            return t * 128
+    return CTILE
 
 
 def _pick_rows(W: int) -> int:
@@ -81,7 +96,8 @@ def _pick_rows(W: int) -> int:
     return 0
 
 
-def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
+def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk,
+                              ctile=CTILE):
     """Start/await the halo'd x-slab DMA with two VMEM slots.
 
     The manual halo copy is the one transfer Mosaic's block pipeline
@@ -118,13 +134,13 @@ def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
         # input (x row g lives at padded row g+8, so the slab is 8-row
         # aligned in both offset and height — a Mosaic DMA-slice
         # requirement).  In tiled mode the slab additionally selects
-        # columns [kk*CTILE, kk*CTILE + CTILE + 256): a 128-aligned
+        # columns [kk*ctile, kk*ctile + ctile + 256): a 128-aligned
         # offset/width containing the +-1 column halo (x col c lives at
         # padded col c+128).
         if tiled:
             return src_hbm.at[pl.ds(jj * bblk, bblk),
                               pl.ds(ii * rows, rows + 16),
-                              pl.ds(kk * CTILE, CTILE + 256)]
+                              pl.ds(kk * ctile, ctile + 256)]
         return src_hbm.at[pl.ds(jj * bblk, bblk),
                           pl.ds(ii * rows, rows + 16)]
 
@@ -156,9 +172,10 @@ def _halo_dma_double_buffered(src_hbm, xs, sem, *, rows, tiled, bblk):
     return xs[slot]
 
 
-def _kernel(xp_hbm, ps, y_ref, xs, sem, *, rows, tiled, bblk=BBLK):
+def _kernel(xp_hbm, ps, y_ref, xs, sem, *, rows, tiled, bblk=BBLK,
+            ctile=CTILE):
     b = _halo_dma_double_buffered(xp_hbm, xs, sem, rows=rows,
-                                  tiled=tiled, bblk=bblk)
+                                  tiled=tiled, bblk=bblk, ctile=ctile)
     # b: (BBLK, rows+16, Wp2 | CTILE+256); ps: (9, rows, W) stacked
     # planes in PLANE_ORDER — one operand instead of nine keeps the
     # per-grid-step descriptor work off the critical path
@@ -237,7 +254,8 @@ def _expand_planes(we, ws, wse, wne, diag):
     # wide grids also pad columns to the CTILE quantum for the
     # column-tiled kernel (padding weights are zero => zero terms)
     Hp = pl.cdiv(H, 128) * 128
-    Wp = pl.cdiv(W, CTILE) * CTILE if W > 4094 else W
+    ct = _ctile_for(W)
+    Wp = pl.cdiv(W, ct) * ct if W > 4094 else W
 
     def padH(p):
         return jnp.pad(p, ((0, Hp - H), (0, Wp - W)))
@@ -287,9 +305,9 @@ def _cheb_rows(W: int, cbblk: int) -> int:
 
 
 def _cheb_kernel(dp_hbm, r_ref, x_ref, ps, dinv, ro_ref, do_ref, xo_ref,
-                 ds, sem, *, rows, tiled, cbblk, ca, cb):
+                 ds, sem, *, rows, tiled, cbblk, ca, cb, ctile=CTILE):
     b = _halo_dma_double_buffered(dp_hbm, ds, sem, rows=rows,
-                                  tiled=tiled, bblk=cbblk)
+                                  tiled=tiled, bblk=cbblk, ctile=ctile)
     W = ro_ref.shape[2]
     choff = 128 if tiled else 1
 
@@ -338,19 +356,20 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
 
     if W > 4094:
         rows = CROWS
+        ct = _ctile_for(W)
         Wp = Wplanes
         dp = jnp.pad(d, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
         rp, xp = padHW(r), padHW(x)
-        grid = (Hp // rows, Wp // CTILE, B // cbblk)
-        plane_spec = pl.BlockSpec((rows, CTILE), lambda i, k, j: (i, k),
+        grid = (Hp // rows, Wp // ct, B // cbblk)
+        plane_spec = pl.BlockSpec((rows, ct), lambda i, k, j: (i, k),
                                   memory_space=pltpu.VMEM)
-        planes_spec = pl.BlockSpec((9, rows, CTILE),
+        planes_spec = pl.BlockSpec((9, rows, ct),
                                    lambda i, k, j: (zero, i, k),
                                    memory_space=pltpu.VMEM)
-        io_spec = pl.BlockSpec((cbblk, rows, CTILE),
+        io_spec = pl.BlockSpec((cbblk, rows, ct),
                                lambda i, k, j: (j, i, k),
                                memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((2, cbblk, rows + 16, CTILE + 256), r.dtype)
+        scratch = pltpu.VMEM((2, cbblk, rows + 16, ct + 256), r.dtype)
         out_sh = jax.ShapeDtypeStruct((B, Hp, Wp), r.dtype)
         tiled = True
     else:
@@ -372,7 +391,8 @@ def pallas_cheb_step(P: PallasStencil, dinv: jnp.ndarray, r: jnp.ndarray,
 
     ro, do, xo = pl.pallas_call(
         functools.partial(_cheb_kernel, rows=rows, tiled=tiled,
-                          cbblk=cbblk, ca=ca, cb=cb),
+                          cbblk=cbblk, ca=ca, cb=cb,
+                          ctile=_ctile_for(W) if tiled else CTILE),
         out_shape=(out_sh, out_sh, out_sh),
         grid=grid,
         in_specs=[
@@ -415,7 +435,8 @@ def _expand_planes_dinv(we, ws, wse, wne, diag, inv):
     (diag slot: diag[j]*Dinv[j])."""
     H, W = diag.shape
     Hp = pl.cdiv(H, 128) * 128
-    Wp = pl.cdiv(W, CTILE) * CTILE if W > 4094 else W
+    ct = _ctile_for(W)
+    Wp = pl.cdiv(W, ct) * ct if W > 4094 else W
 
     def padH(p):
         return jnp.pad(p, ((0, Hp - H), (0, Wp - W)))
@@ -892,16 +913,17 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         # 128 halo columns each side (x col c -> padded col c+128) give
         # 128-aligned DMA offsets that contain the +-1 column halo.
         rows = CROWS
-        Wp = Wplanes                       # CTILE multiple (expand)
+        ct = _ctile_for(W)
+        Wp = Wplanes                       # ct multiple (expand)
         xp = jnp.pad(x, ((0, 0), (8, Hp - H + 8), (128, 128 + Wp - W)))
-        grid = (Hp // rows, Wp // CTILE, B // bblk)
-        planes_spec = pl.BlockSpec((9, rows, CTILE),
+        grid = (Hp // rows, Wp // ct, B // bblk)
+        planes_spec = pl.BlockSpec((9, rows, ct),
                                    lambda i, k, j: (zero, i, k),
                                    memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((bblk, rows, CTILE),
+        out_spec = pl.BlockSpec((bblk, rows, ct),
                                 lambda i, k, j: (j, i, k),
                                 memory_space=pltpu.VMEM)
-        scratch = pltpu.VMEM((2, bblk, rows + 16, CTILE + 256), x.dtype)
+        scratch = pltpu.VMEM((2, bblk, rows + 16, ct + 256), x.dtype)
         out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), x.dtype)
         tiled = True
     else:
@@ -923,7 +945,8 @@ def pallas_matvec(P: PallasStencil, x: jnp.ndarray,
         tiled = False
 
     y = pl.pallas_call(
-        functools.partial(_kernel, rows=rows, tiled=tiled, bblk=bblk),
+        functools.partial(_kernel, rows=rows, tiled=tiled, bblk=bblk,
+                          ctile=_ctile_for(W) if tiled else CTILE),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
