@@ -567,3 +567,80 @@ def test_prepare_large_single_matches_host_path(monkeypatch):
     assert relh.max() <= 1e-6 and rell.max() <= 1e-6
     np.testing.assert_allclose(np.asarray(Xl[:2]), np.asarray(Xh[:2]),
                                rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("B", [1, 2, 4, 8])
+def test_round5_fused_kernels_interpret(B):
+    """Interpret-mode differentials for the round-5 fused kernels at
+    several batch-block widths (matvec+pAp, residual+restrict,
+    from-zero smoother, two-pass warm smoother) against the XLA
+    formulations."""
+    import jax.numpy as jnp
+
+    from circuitscape_tpu.solve.geomg import (CHEB_DEGREE, GeoMgLevel,
+                                              _cheb_smooth, _restrict)
+    from circuitscape_tpu.solve.pallas_stencil import (
+        PallasStencil, cheb_init_supported, pallas_cheb_finish,
+        pallas_cheb_init, pallas_matvec_pap, pallas_residual_init,
+        pallas_residual_restrict, rr_supported, warm_smooth_supported)
+    from circuitscape_tpu.solve.stencil import (StencilOperator,
+                                                stencil_from_gmap,
+                                                stencil_matvec)
+
+    rng = np.random.default_rng(11)
+    H, W = 128, 256
+    g = rng.uniform(0.5, 2.0, (H, W))
+    g[rng.random((H, W)) < 0.1] = 0.0
+    S = stencil_from_gmap(g, False, False, jnp.float32)
+    P = PallasStencil.from_operator(S, with_init=True)
+    inv = jnp.where(S.diag > 0,
+                    1.0 / jnp.where(S.diag == 0, 1.0, S.diag), 0.0)
+    x = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+    yref = stencil_matvec(S, x)
+
+    assert rr_supported((H, W), B)
+    assert cheb_init_supported((H, W), B)
+    assert warm_smooth_supported((H, W), B)
+
+    y, pap = pallas_matvec_pap(P, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(pap), np.asarray(jnp.sum(x * yref, axis=(-2, -1))),
+        rtol=1e-5)
+
+    rc = pallas_residual_restrict(P, b, x, interpret=True)
+    rcref = _restrict(b - yref)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rcref),
+                               rtol=0, atol=2e-4)
+
+    # smoother coefficients for lam_max = 2.0 (the production default)
+    assert CHEB_DEGREE == 2
+    lmax = 2.0
+    lmin = lmax / 4.0
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    rho_new = 1.0 / (2.0 * sigma - rho)
+    c = float(1.0 / theta)
+    ca = float(rho_new * rho)
+    cb = float(2.0 * rho_new / delta)
+
+    # XLA-reference smoother (no pallas attached)
+    A_plain = StencilOperator(S.we, S.ws, S.wse, S.wne, S.diag)
+    L = GeoMgLevel(A_plain, inv, lmax)
+
+    x0 = pallas_cheb_init(P.init_planes, inv, b, c=c, ca=ca, cb=cb,
+                          interpret=True)
+    ref0 = _cheb_smooth(L, b, None)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(ref0),
+                               rtol=0, atol=2e-4)
+
+    r0, x1 = pallas_residual_init(P, inv, b, x, c=c, interpret=True)
+    x2 = pallas_cheb_finish(P.init_planes, inv, r0, x1, c=c, ca=ca,
+                            cb=cb, interpret=True)
+    ref2 = _cheb_smooth(L, b, x)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2),
+                               rtol=0, atol=2e-4)
