@@ -511,7 +511,13 @@ def _build_levels_device(we, ws, wse, wne, nlevels, est_mask, pal_mask,
             pen = _coarsen_pen_jnp(pen)
     if pen is None:
         pen = jnp.zeros_like(we)
-    return out, jnp.stack(lams), jnp.stack([we, ws, wse, wne, pen])
+    # pack the per-level lams and the coarsest planes into ONE flat f64
+    # array: the caller's two np.asarray fetches each paid a host-link
+    # roundtrip (~40 ms on the tunnel)
+    packed = jnp.concatenate(
+        [jnp.stack(lams).astype(jnp.float64).ravel(),
+         jnp.stack([we, ws, wse, wne, pen]).astype(jnp.float64).ravel()])
+    return out, packed
 
 
 def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
@@ -542,10 +548,11 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
     else:
         pal_mask = (False,) * len(shapes)
 
-    levels_raw, lams_dev, coarse_stack = _build_levels_device(
+    levels_raw, packed_dev = _build_levels_device(
         S32.we, S32.ws, S32.wse, S32.wne, len(shapes), est_mask, pal_mask,
         pen=pen)
-    lams = np.asarray(lams_dev, np.float64)   # one tiny download
+    packed = np.asarray(packed_dev)           # the ONE tiny download
+    lams = packed[:len(shapes)]
 
     from .pallas_stencil import PallasStencil
     levels = []
@@ -557,8 +564,11 @@ def build_geo_mg_device(S32: StencilOperator, coarse_cells=256,
             StencilOperator(we, ws, wse, wne, diag, pobj), inv,
             float(lam)))
 
-    cwe, cws, cwse, cwne, cpen = np.asarray(coarse_stack,
-                                            np.float64)   # one download
+    if shapes:
+        hc, wc = -(-shapes[-1][0] // 2), -(-shapes[-1][1] // 2)
+    else:   # no coarsening ran: the "coarsest" planes are the fine ones
+        hc, wc = S32.shape
+    cwe, cws, cwse, cwne, cpen = packed[len(shapes):].reshape(5, hc, wc)
     dense = _dense_laplacian(cwe, cws, cwse, cwne)
     dense[np.diag_indices_from(dense)] += cpen.ravel()
     empty = dense.diagonal() == 0
