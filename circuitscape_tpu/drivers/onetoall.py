@@ -80,13 +80,18 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     cslog.info("one-to-all device fast path: %s points in one batch",
                len(pts))
 
-    # one-to-all columns ground ALL other focal nodes, so the shared
-    # penalty field (penalty at every focal cell) is within one cell of
-    # every column's exact ground diagonal — bake it into the hierarchy
-    # (prepare_stencil_solver_from_gmap_pen) so the V-cycle
-    # preconditions the grounded operator instead of the floating
-    # Laplacian.  All-to-one grounds a single (different) cell per
-    # column — no shared field matches, keep the base hierarchy.
+    # One-to-all: every column grounds all other focal nodes, so the
+    # shared penalty field (penalty at every focal cell) is baked into
+    # the hierarchy (prepare_stencil_solver_from_gmap_pen) and the
+    # V-cycle preconditions the grounded operator.  All-to-one grounds
+    # a SINGLE (different) cell per column — no penalty scheme
+    # conditions that well (the floating-hierarchy masked scheme
+    # measurably DIVERGED at 1M cells) — so those columns solve the
+    # equivalent BALANCED FLOATING system instead: inject -total at
+    # the ground cell, solve L x = s (the pairwise path's structure,
+    # ~10 CG iterations), then pin v[ground] = 0 per component.  This
+    # is the exact Dirichlet (infinite-ground) limit, with none of the
+    # penalty's O(1/pen) residue.
     from ..timer import CSTIMER
     bake_pen = one_to_all and len(pts) > 1
     pen_host = None
@@ -171,6 +176,20 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     cum = out.initialize_cum_maps(gmap, of.write_max_cur_maps)
     idx_active = np.nonzero(active)[0]
 
+    labels_dev = None
+    if not one_to_all:
+        # component label per cell (padded grid), for the all-to-one
+        # post-shift masking
+        import jax.numpy as _jnp
+        Hp_, Wp_ = S64.shape
+        lab = np.zeros((Hp_, Wp_), np.int32)
+        rr_, cc2 = np.nonzero(nodemap)
+        node_lab = np.zeros(int(nodemap.max()) + 1, np.int32)
+        for ci_, comp_ in enumerate(comps):
+            node_lab[np.asarray(comp_)] = ci_ + 1
+        lab[rr_, cc2] = node_lab[nodemap[rr_, cc2]]
+        labels_dev = _jnp.asarray(lab)
+
     # byte-budgeted focal-column chunks (same scheme as the pairwise
     # paths, drivers/core.py): ~8 live f64 (B, H, W) blocks per chunk,
     # so 1M cells x 1000 focal points fits 16 GB instead of
@@ -207,8 +226,10 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
                 others = (comp_of == comp_of[i]) & (comp_of >= 0)
                 others[i] = False
                 src_cells[k] = cells
-                src_vals[k] = np.where(others, strength, 0.0)
-                gnd_vals[k] = np.where(arange == i, penalty, 0.0)
+                vals = np.where(others, strength, 0.0)
+                vals[i] = -vals.sum()      # balanced floating injection
+                src_vals[k] = vals
+                # no penalty: the ground is imposed by the post-shift
 
         import time as _time
 
@@ -232,6 +253,15 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
 
         # per-point results
         own = jnp.asarray(cells[sel], jnp.int32)
+        if not one_to_all:
+            # pin each column's ground cell to 0 within its component
+            # (a constant shift changes no flow; masking other
+            # components keeps their map values at the reference's 0)
+            shifts = X[jnp.arange(bsz), own[:, 0], own[:, 1]]
+            col_lab = jnp.asarray(
+                np.asarray([comp_of[i] + 1 for i in sel], np.int32))
+            X = jnp.where(labels_dev[None] == col_lab[:, None, None],
+                          X - shifts[:, None, None], 0.0)
         vals = np.asarray(X[jnp.arange(bsz), own[:, 0], own[:, 1]])
         for k, i in enumerate(sel):
             if one_to_all:
