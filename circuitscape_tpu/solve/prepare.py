@@ -140,6 +140,13 @@ def prepare_stencil_solver_from_gmap_pen(gmap, avg_res, four_neighbors,
     gmap = np.asarray(gmap)
     H0, W0 = gmap.shape
     if active_mesh(H0 * W0) is not None:
+        # mesh runs fall back to the masked-preconditioner scheme (the
+        # sharded hierarchy does not thread the penalty yet).  Known
+        # limitation: with a SINGLE direct ground at megacell scale the
+        # masked floating-hierarchy scheme converges poorly (see the
+        # all-to-one balanced-floating reformulation in
+        # drivers/onetoall.py); multi-ground advanced jobs — the
+        # common case — are unaffected.
         S64, prec, prec_apply, shape0 = prepare_stencil_solver(
             stencil_planes_np(gmap, avg_res, four_neighbors))
         return S64, prec, prec_apply, shape0, None
