@@ -163,7 +163,9 @@ def _onetoall_device_fast(data, flags, cfg, dtype):
     strength = np.ones(npts)
     if use_var:
         strength = strengths[:npts, 1].astype(np.float64)
-    penalty = advanced_ground_penalty(S64)
+    # all-to-one imposes its ground by the balanced-floating post-shift
+    # and never needs the penalty scale (one device fetch saved)
+    penalty = advanced_ground_penalty(S64) if one_to_all else 0.0
 
     active = np.ones(npts, bool)
     for i in range(npts):
